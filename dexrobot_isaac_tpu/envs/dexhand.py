@@ -1,0 +1,414 @@
+"""DexHand environment engine: the functional core + stateful wrapper.
+
+TPU-native re-design of the reference's L1/L2 layers (`VecTask` +
+`DexHandBase` + `StepProcessor`; SURVEY §1, §3.3): instead of a component
+graph mutating Isaac Gym buffers, the whole control step is one pure function
+
+    step(state, actions) -> (state', obs, reward, done, extras)
+
+compiled under a single `jit`: action pipeline -> K physics steps -> obs dict
+-> pre-action rule -> termination -> rewards -> masked auto-reset.
+
+Step-ordering parity with the reference's hot loop
+(dexhand_base.py:893-942 + step_processor.py:37-131):
+1. pre-physics: process_actions consuming the previous step's
+   `active_rule_targets` (dexhand_base.py:864-877)
+2. physics: `physics_steps_per_control` simulator steps
+3. post-physics: observations -> pre-action rule (stored for step N+1) ->
+   episode count increment -> termination -> rewards -> termination rewards ->
+   auto-reset of done envs -> extras. Returned observations for done envs are
+   the terminal ones; the new episode's first observation appears at the next
+   step (the reference's inline auto-reset, step_processor.py:109-111).
+
+control_dt semantics: the reference *measures* physics-steps-per-control in a
+worst-case init cycle and fixes control_dt = physics_dt x N forever after
+(docs/control-dt-timing-diagram.md:68-99; measured N = 4 for both shipped
+tasks). Here N is configured per task (`physics_steps_per_control`, default 4)
+and resets are pure state substitutions, so every control cycle costs exactly
+N physics steps -- the same timing-consistency invariant the reference
+enforces with its unconditional reset-step (reset_manager.py:176-180), without
+the measurement machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexrobot_isaac_tpu.constants import (
+    DEFAULT_CONTACT_FORCE_BODIES,
+    NUM_ACTIVE_TARGETS,
+    NUM_DOFS,
+)
+from dexrobot_isaac_tpu.envs import action as action_mod
+from dexrobot_isaac_tpu.envs import observations as obs_mod
+from dexrobot_isaac_tpu.envs import rewards as rew_mod
+from dexrobot_isaac_tpu.envs import termination as term_mod
+from dexrobot_isaac_tpu.envs.tasks.api import DexTask
+from dexrobot_isaac_tpu.envs.types import EnvState
+from dexrobot_isaac_tpu.models.dexhand021 import HandModel, build_hand_model
+from dexrobot_isaac_tpu.physics.engine import HandPhysics, StepInfo
+from dexrobot_isaac_tpu.physics.types import PhysicsState, SimParams
+
+
+@dataclasses.dataclass
+class EnvComponents:
+    """Everything static the step function closes over."""
+
+    num_envs: int
+    model: HandModel
+    engine: HandPhysics
+    pipeline: action_mod.ActionPipeline
+    obs_cfg: obs_mod.ObsConfig
+    reward_cfg: rew_mod.RewardConfig
+    term_cfg: term_mod.TerminationConfig
+    task: DexTask
+    physics_steps_per_control: int
+    control_dt: float
+    spawn_pos: np.ndarray           # (3,)
+    default_dof_pos: np.ndarray     # (26,)
+    clip_observations: float
+    clip_actions: float
+    num_obs: int = -1               # filled after first trace
+
+    @property
+    def num_actions(self) -> int:
+        return self.pipeline.num_actions
+
+
+class DexHandEnv:
+    """Stateful wrapper exposing the reference's env API surface
+    (`step/reset/observation_space/action_space`; vec_task.py:44-170)."""
+
+    def __init__(self, comps: EnvComponents, seed: int = 42):
+        self.comps = comps
+        self.num_envs = comps.num_envs
+        self.num_actions = comps.num_actions
+        self.control_dt = comps.control_dt
+        self._spawn = jnp.tile(
+            jnp.asarray(comps.spawn_pos, dtype=jnp.float32)[None],
+            (comps.num_envs, 1),
+        )
+        self._default_dof = jnp.asarray(comps.default_dof_pos, dtype=jnp.float32)
+        self._step_jit = jax.jit(self.step_fn, donate_argnums=0)
+        self._reset_jit = jax.jit(self.reset_fn)
+        self.state: Optional[EnvState] = None
+        self.obs_slices: Dict[str, Tuple[int, int]] = {}
+        self._seed = seed
+        # probe obs dim with an abstract trace (no device compute)
+        shape = jax.eval_shape(
+            self.reset_fn, jax.random.key(0)
+        )
+        self.num_obs = int(shape[1].shape[-1])
+        comps.num_obs = self.num_obs
+
+    # ------------------------------------------------------------------
+    # functional core
+    # ------------------------------------------------------------------
+    def _observe(
+        self,
+        phys: PhysicsState,
+        kin,
+        state_like: Dict[str, jnp.ndarray],
+        task_states: Dict[str, jnp.ndarray],
+    ):
+        """Shared obs computation (default obs + task obs + pre-action rule).
+
+        Mirrors compute_observations + apply_pre_action_rule + concat
+        (step_processor.py:47-77)."""
+        c = self.comps
+        obs_dict, new_duration, contact_binary = obs_mod.compute_default_observations(
+            c.obs_cfg,
+            kin,
+            phys.q,
+            state_like["prev_dof_pos"],
+            state_like["full_dof_targets"],
+            state_like["active_prev_targets"],
+            state_like["prev_actions"],
+            state_like["body_contact_force"],
+            state_like["contact_duration_steps"],
+            state_like["prev_contact_binary"],
+            state_like["episode_step_count"],
+        )
+        tstep = c.task.compute_step(
+            obs_dict,
+            task_states,
+            phys,
+            kin,
+            state_like["body_contact_force"],
+            state_like["box_contact_force"],
+            c.control_dt,
+        )
+        obs_dict.update(tstep.task_obs)
+
+        # pre-action rule: default identity on active_prev_targets
+        # (rules.py:78-95); output consumed next step
+        if c.task.pre_action_rule is not None:
+            active_rule = c.task.pre_action_rule(
+                state_like["active_prev_targets"], obs_dict
+            )
+        else:
+            active_rule = state_like["active_prev_targets"]
+        obs_dict["active_rule_targets"] = active_rule
+
+        obs_buf = obs_mod.concat_selected_observations(c.obs_cfg, obs_dict)
+        if np.isfinite(c.clip_observations):
+            obs_buf = jnp.clip(obs_buf, -c.clip_observations, c.clip_observations)
+        return obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
+
+    def step_fn(self, state: EnvState, actions: jnp.ndarray):
+        c = self.comps
+        n = c.num_envs
+        key, reset_key = jax.random.split(state.rng)
+
+        # --- pre-physics: action pipeline (SURVEY §2.3) ---
+        if np.isfinite(c.clip_actions):
+            actions = jnp.clip(actions, -c.clip_actions, c.clip_actions)
+        full_targets, active_targets = action_mod.process_actions(
+            c.pipeline, actions, state.active_prev_targets, state.active_rule_targets
+        )
+
+        # --- physics: N lockstep steps ---
+        phys = state.physics
+        step_batch = jax.vmap(c.engine.step_single, in_axes=(0, 0, 0))
+        info = None
+        for _ in range(c.physics_steps_per_control):
+            phys, info = step_batch(phys, full_targets, self._spawn)
+        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
+
+        # --- post-physics ---
+        state_like = {
+            "prev_dof_pos": state.prev_dof_pos,
+            "full_dof_targets": full_targets,
+            "active_prev_targets": active_targets,
+            "prev_actions": actions,
+            "body_contact_force": info.body_contact_force,
+            "box_contact_force": info.box_contact_force,
+            "contact_duration_steps": state.contact_duration_steps,
+            "prev_contact_binary": state.prev_contact_binary,
+            "episode_step_count": state.episode_step_count,
+        }
+        (
+            obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
+        ) = self._observe(phys, kin, state_like, state.task_states)
+
+        new_count = state.episode_step_count + 1
+
+        # --- termination (step_processor.py:83-89) ---
+        failure_criteria = {
+            **term_mod.builtin_failure_criteria(c.term_cfg, obs_dict),
+            **tstep.failure_criteria,
+        }
+        (
+            should_reset, term_info, term_reward, term_components,
+            new_sflags, new_fflags,
+        ) = term_mod.evaluate_termination(
+            c.term_cfg,
+            new_count,
+            tstep.success_criteria,
+            failure_criteria,
+            state.success_flags,
+            state.failure_flags,
+        )
+
+        # --- rewards (step_processor.py:94-104) ---
+        hand_vel = kin.body_linvel[:, c.obs_cfg.hand_body_index]
+        hand_ang_vel = kin.body_angvel[:, c.obs_cfg.hand_body_index]
+        dof_vel = jnp.concatenate(
+            [obs_dict["base_dof_vel"], obs_dict["all_finger_dof_vel"]], axis=-1
+        )
+        common, rtrack = rew_mod.compute_common_reward_terms(
+            c.reward_cfg, obs_dict, phys.q, dof_vel, hand_vel, hand_ang_vel,
+            state.prev_finger_dof_vel, state.prev_hand_vel,
+            state.prev_hand_ang_vel, state.prev_contacts,
+        )
+        total, components = rew_mod.compute_total_reward(
+            c.reward_cfg, common, tstep.reward_terms
+        )
+        rew = total + term_reward
+        components.update(term_components)
+
+        # consecutive successes (termination_manager.py:323-339)
+        any_success = term_info["success"].any()
+        any_failure = term_info["failure"].any() | term_info["timeout"].any()
+        consecutive = jnp.where(
+            any_success,
+            state.consecutive_successes + 1,
+            jnp.where(any_failure, 0, state.consecutive_successes),
+        )
+
+        # --- auto-reset of done envs (masked; reset_manager.py:92-190) ---
+        reset_vals = c.task.reset_task(reset_key, n, self._default_dof)
+        done = should_reset
+        m1 = done[:, None]
+
+        reset_active = action_mod.extract_active_targets(
+            c.pipeline, reset_vals.dof_pos
+        )
+        new_phys = PhysicsState(
+            q=jnp.where(m1, reset_vals.dof_pos, phys.q),
+            qd=jnp.where(m1, 0.0, phys.qd),
+            box_pos=(
+                jnp.where(m1, reset_vals.box_pos, phys.box_pos)
+                if reset_vals.box_pos is not None else phys.box_pos
+            ),
+            box_quat=(
+                jnp.where(m1, reset_vals.box_quat, phys.box_quat)
+                if reset_vals.box_quat is not None else phys.box_quat
+            ),
+            box_linvel=jnp.where(m1, 0.0, phys.box_linvel),
+            box_angvel=jnp.where(m1, 0.0, phys.box_angvel),
+        )
+
+        task_states = dict(tstep.task_states)
+        if reset_vals.task_states:
+            for k, v in reset_vals.task_states.items():
+                cur = task_states[k]
+                mk = done.reshape(done.shape + (1,) * (cur.ndim - 1))
+                task_states[k] = jnp.where(mk, v, cur)
+
+        new_state = EnvState(
+            physics=new_phys,
+            full_dof_targets=jnp.where(m1, reset_vals.dof_pos, full_targets),
+            active_prev_targets=jnp.where(m1, reset_active, active_targets),
+            active_rule_targets=jnp.where(m1, reset_active, active_rule),
+            prev_actions=jnp.where(m1, 0.0, actions),
+            prev_dof_pos=jnp.where(m1, reset_vals.dof_pos, phys.q),
+            contact_duration_steps=jnp.where(m1, 0, new_duration),
+            prev_contact_binary=jnp.where(m1, 0.0, contact_binary),
+            episode_step_count=jnp.where(done, 0, new_count),
+            body_contact_force=jnp.where(m1[..., None], 0.0, info.body_contact_force),
+            box_contact_force=jnp.where(m1, 0.0, info.box_contact_force),
+            prev_finger_dof_vel=jnp.where(m1, 0.0, rtrack["prev_finger_dof_vel"]),
+            prev_hand_vel=jnp.where(m1, 0.0, rtrack["prev_hand_vel"]),
+            prev_hand_ang_vel=jnp.where(m1, 0.0, rtrack["prev_hand_ang_vel"]),
+            prev_contacts=jnp.where(m1, False, rtrack["prev_contacts"]),
+            success_flags={
+                k: jnp.where(done, False, v) for k, v in new_sflags.items()
+            },
+            failure_flags={
+                k: jnp.where(done, False, v) for k, v in new_fflags.items()
+            },
+            consecutive_successes=consecutive,
+            task_states=task_states,
+            rng=key,
+        )
+
+        extras = {
+            "consecutive_successes": consecutive,
+            "episode_length": new_count,
+            "reward_components": components,
+            **term_info,
+        }
+        return new_state, obs_buf, rew, done, extras
+
+    def reset_fn(self, key: jax.Array):
+        """Full reset of all envs + initial observation
+        (dexhand_base.py:805-838)."""
+        c = self.comps
+        n = c.num_envs
+        key, task_key = jax.random.split(key)
+        reset_vals = c.task.reset_task(task_key, n, self._default_dof)
+
+        phys = PhysicsState(
+            q=reset_vals.dof_pos,
+            qd=jnp.zeros((n, NUM_DOFS), dtype=jnp.float32),
+            box_pos=(
+                reset_vals.box_pos if reset_vals.box_pos is not None
+                else jnp.zeros((n, 3), dtype=jnp.float32)
+            ),
+            box_quat=(
+                reset_vals.box_quat if reset_vals.box_quat is not None
+                else jnp.zeros((n, 4), dtype=jnp.float32).at[:, 3].set(1.0)
+            ),
+            box_linvel=jnp.zeros((n, 3), dtype=jnp.float32),
+            box_angvel=jnp.zeros((n, 3), dtype=jnp.float32),
+        )
+        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
+        n_contact = len(np.asarray(c.obs_cfg.contact_body_indices))
+        reset_active = action_mod.extract_active_targets(
+            c.pipeline, reset_vals.dof_pos
+        )
+        b = c.model.num_bodies
+        state_like = {
+            "prev_dof_pos": reset_vals.dof_pos,
+            "full_dof_targets": reset_vals.dof_pos,
+            "active_prev_targets": reset_active,
+            "prev_actions": jnp.zeros((n, c.num_actions), dtype=jnp.float32),
+            "body_contact_force": jnp.zeros((n, b, 3), dtype=jnp.float32),
+            "box_contact_force": jnp.zeros((n, 3), dtype=jnp.float32),
+            "contact_duration_steps": jnp.zeros((n, n_contact), dtype=jnp.int32),
+            "prev_contact_binary": jnp.zeros((n, n_contact), dtype=jnp.float32),
+            "episode_step_count": jnp.zeros((n,), dtype=jnp.int32),
+        }
+        task_states = c.task.init_task_states(n)
+        if reset_vals.task_states:
+            task_states.update(reset_vals.task_states)
+        (
+            obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
+        ) = self._observe(phys, kin, state_like, task_states)
+
+        state = EnvState(
+            physics=phys,
+            full_dof_targets=state_like["full_dof_targets"],
+            active_prev_targets=reset_active,
+            active_rule_targets=active_rule,
+            prev_actions=state_like["prev_actions"],
+            prev_dof_pos=state_like["prev_dof_pos"],
+            contact_duration_steps=jnp.zeros((n, n_contact), dtype=jnp.int32),
+            prev_contact_binary=jnp.zeros((n, n_contact), dtype=jnp.float32),
+            episode_step_count=jnp.zeros((n,), dtype=jnp.int32),
+            body_contact_force=state_like["body_contact_force"],
+            box_contact_force=state_like["box_contact_force"],
+            prev_finger_dof_vel=jnp.zeros((n, 20), dtype=jnp.float32),
+            prev_hand_vel=jnp.zeros((n, 3), dtype=jnp.float32),
+            prev_hand_ang_vel=jnp.zeros((n, 3), dtype=jnp.float32),
+            prev_contacts=jnp.zeros((n, n_contact), dtype=bool),
+            success_flags={k: jnp.zeros(n, dtype=bool)
+                           for k in self.comps.term_cfg.active_success_criteria},
+            failure_flags={k: jnp.zeros(n, dtype=bool)
+                           for k in self.comps.term_cfg.active_failure_criteria},
+            consecutive_successes=jnp.zeros((), dtype=jnp.int32),
+            task_states=tstep.task_states,
+            rng=key,
+        )
+        return state, obs_buf
+
+    # ------------------------------------------------------------------
+    # stateful API (reference Env ABC surface, vec_task.py:44-170)
+    # ------------------------------------------------------------------
+    def reset(self):
+        self.state, obs = self._reset_jit(jax.random.key(self._seed))
+        # record semantic obs slices once (host-side, for the lookup API)
+        return obs
+
+    def step(self, actions):
+        if self.state is None:
+            self.reset()
+        self.state, obs, rew, done, extras = self._step_jit(self.state, actions)
+        return obs, rew, done, extras
+
+    def seed(self, seed: int):
+        self._seed = seed
+
+    @property
+    def observation_space(self):
+        return _Space((self.num_obs,))
+
+    @property
+    def action_space(self):
+        return _Space((self.num_actions,), low=-1.0, high=1.0)
+
+    def close(self):
+        pass
+
+
+@dataclasses.dataclass
+class _Space:
+    shape: Tuple[int, ...]
+    low: float = -np.inf
+    high: float = np.inf

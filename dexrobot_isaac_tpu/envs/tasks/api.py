@@ -1,0 +1,104 @@
+"""Task plugin contract (pure-function re-design of the reference's DexTask).
+
+The reference defines tasks as stateful plugin objects called by the env
+(dexhand_env/tasks/task_interface.py:14-405): reward terms, success/failure
+criteria, reset randomization, task observations, and optional action-rule
+hooks. Here a task is a bundle of pure functions over the env state; task
+temporal state lives in `EnvState.task_states` (the reference's registered
+task-state registry, observation_encoder.py:385-440).
+
+Per-step ordering parity with the reference's StepProcessor
+(components/step_processor.py:37-131): `compute_step` is invoked once per step
+after default observations and returns task observations, updated task state,
+criteria dicts, and reward terms together -- internally it must follow the
+reference order (task obs + FSM update -> failure criteria -> rewards), since
+e.g. BlindGrasping's stage-completion bonuses read failure tensors computed by
+the criteria pass (blind_grasping_task.py:1020-1040).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dexrobot_isaac_tpu.physics.types import KinematicsOut, PhysicsState, SimParams
+
+
+@dataclasses.dataclass
+class TaskStep:
+    """Everything a task contributes to one env step."""
+
+    task_obs: Dict[str, jnp.ndarray]
+    task_states: Dict[str, jnp.ndarray]
+    success_criteria: Dict[str, jnp.ndarray]
+    failure_criteria: Dict[str, jnp.ndarray]
+    reward_terms: Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass
+class TaskReset:
+    """Per-env reset values (full batch; env merges by done-mask)."""
+
+    dof_pos: jnp.ndarray                      # (N, 26)
+    box_pos: Optional[jnp.ndarray] = None     # (N, 3)
+    box_quat: Optional[jnp.ndarray] = None    # (N, 4)
+    task_states: Optional[Dict[str, jnp.ndarray]] = None
+
+
+class DexTask:
+    """Base task: no-op everywhere (parity: dexhand_env/tasks/base_task.py)."""
+
+    name = "BaseTask"
+
+    def __init__(self, task_cfg: Dict[str, Any]):
+        self.cfg = task_cfg
+
+    # --- build-time hooks -------------------------------------------------
+    def configure_scene(self, params: SimParams) -> SimParams:
+        """Add task objects to the scene (parity: create_task_objects /
+        load_task_assets, task_interface.py:120-180)."""
+        return params
+
+    def init_task_states(self, num_envs: int) -> Dict[str, jnp.ndarray]:
+        """Register task temporal state tensors."""
+        return {}
+
+    # --- per-step hooks ---------------------------------------------------
+    def compute_step(
+        self,
+        obs_dict: Dict[str, jnp.ndarray],
+        task_states: Dict[str, jnp.ndarray],
+        physics: PhysicsState,
+        kin: KinematicsOut,
+        body_contact_force: jnp.ndarray,
+        box_contact_force: jnp.ndarray,
+        control_dt: float,
+    ) -> TaskStep:
+        return TaskStep(
+            task_obs={},
+            task_states=task_states,
+            success_criteria={},
+            failure_criteria={},
+            reward_terms={},
+        )
+
+    # --- reset hook -------------------------------------------------------
+    def reset_task(
+        self,
+        key: jax.Array,
+        num_envs: int,
+        default_dof_pos: jnp.ndarray,
+    ) -> TaskReset:
+        """Randomized reset values for all envs (parity: reset_task_state,
+        task_interface.py:94-118)."""
+        return TaskReset(
+            dof_pos=jnp.tile(default_dof_pos[None], (num_envs, 1))
+        )
+
+    # --- optional action hooks (task_interface.py:290-405) ----------------
+    pre_action_rule = None     # fn(active_prev_targets, obs_dict) -> (N, 18)
+    custom_action_rule = None
+    custom_post_filters: Tuple = ()

@@ -1,0 +1,413 @@
+"""BlindGrasping: tactile-only box grasping with a 3-stage curriculum.
+
+TPU-native re-design of the reference task
+(dexhand_env/tasks/blind_grasping_task.py, SURVEY §2.8). Reproduced semantics:
+
+- box scene: 5 cm / 100 g cube on the ground, reset to xy +/-2 cm and yaw
+  +/-180 deg at z = 0.027 (blind_grasping_task.py:433-547)
+- hand randomization: base translation +/-0.2 m, rotation +/-45 deg, finger
+  DOFs uniform [0, 30 deg] with thumb rotation [0, 90 deg]
+- privileged task observations: object pos/vel, finger-object distances,
+  fingerpad geometry, heuristic finger-box contact (finger contact AND box
+  contact AND pad-to-center proximity < sqrt(3)*size/2*1.2;
+  blind_grasping_task.py:773-833), grasp duration
+- stage FSM: 1->2 time-based (4 s), 2->3 contact-sustained (0.5 s) or timeout
+  (3 s), exact-step transition flags (blind_grasping_task.py:835-956)
+- stage-masked rewards + one-time completion bonuses gated on quality checks,
+  geometric penetration penalty (blind_grasping_task.py:980-1208)
+- success: box z > 0.2 m with >= 2 fingers on box sustained 2 s; failures:
+  box_too_far, stage1_pregrasp_failed, stage2_contact_failed,
+  stage3_grasp_lost (blind_grasping_task.py:1210-1364)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from dexrobot_isaac_tpu.constants import DOF_INDEX, NUM_DOFS
+from dexrobot_isaac_tpu.envs.tasks.api import DexTask, TaskReset, TaskStep
+from dexrobot_isaac_tpu.physics.types import SimParams
+
+
+def _get(cfg, key, default):
+    v = cfg
+    for k in key.split("."):
+        if not isinstance(v, dict) or k not in v:
+            return default
+        v = v[k]
+    return v
+
+
+class BlindGraspingTask(DexTask):
+    name = "BlindGrasping"
+
+    def __init__(self, task_cfg: Dict[str, Any]):
+        super().__init__(task_cfg)
+        c = task_cfg
+        box = c.get("box", {})
+        self.box_size = float(box.get("size", 0.05))
+        self.box_mass = float(box.get("mass", 0.1))
+        self.box_friction = float(box.get("friction", 1.0))
+        self.box_xy_range = float(_get(box, "initial_position.xy_range", 0.02))
+        self.box_z = float(_get(box, "initial_position.z", 0.027))
+
+        self.height_threshold = float(c.get("success_height_threshold", 0.2))
+        self.contact_duration_threshold = float(
+            c.get("contact_duration_threshold", 2.0)
+        )
+        self.min_fingers_for_grasp = int(c.get("min_fingers_for_grasp", 2))
+        self.max_box_distance = float(c.get("max_box_distance", 0.8))
+        self.contact_binary_threshold = float(
+            c.get("contact_binary_threshold", 0.1)
+        )
+
+        self.stage1_duration = float(c.get("stage1_duration", 4.0))
+        self.stage2_duration = float(c.get("stage2_duration", 3.0))
+        self.stage2_contact_success_threshold = float(
+            _get(c, "stage_evaluation.stage2_contact_success_threshold", 0.5)
+        )
+
+        self.hand_translation_range = float(c.get("hand_translation_range", 0.2))
+        self.hand_rotation_range = float(c.get("hand_rotation_range", 0.785))
+        self.thumb_rotation_range = float(
+            _get(c, "finger_randomization.thumb_rotation_range", 1.571)
+        )
+        self.other_finger_range = float(
+            _get(c, "finger_randomization.other_finger_range", 0.524)
+        )
+
+        rc = c.get("reward_calculation", {})
+        self.height_alignment_decay = float(rc.get("height_alignment_decay", 5.0))
+        self.centroid_positioning_decay = float(
+            rc.get("centroid_positioning_decay", 5.0)
+        )
+        self.object_stability_decay = float(rc.get("object_stability_decay", 100.0))
+        self.first_three_height_consistency_decay = float(
+            rc.get("first_three_height_consistency_decay", 50.0)
+        )
+        self.fingerpad_proximity_decay = float(
+            rc.get("fingerpad_proximity_decay", 10.0)
+        )
+        self.base_stability_decay = float(rc.get("base_stability_decay", 3.0))
+
+        qt = c.get("quality_thresholds", {})
+        self.height_tolerance = float(qt.get("height_tolerance", 0.03))
+        self.centroid_tolerance = float(qt.get("centroid_tolerance", 0.08))
+        self.position_drift_tolerance = float(
+            qt.get("position_drift_tolerance", 0.01)
+        )
+        self.velocity_tolerance = float(qt.get("velocity_tolerance", 0.005))
+
+        pp = c.get("penetration_prevention", {})
+        self.geometric_penetration_factor = float(
+            pp.get("geometricPenetrationFactor", 1.0)
+        )
+        self.proximity_min_distance_factor = float(
+            pp.get("proximityMinDistanceFactor", 1.0)
+        )
+        self.penetration_depth_scale = float(pp.get("penetrationDepthScale", 100.0))
+
+    # ------------------------------------------------------------------
+    def configure_scene(self, params: SimParams) -> SimParams:
+        """Add the box to the scene (parity: load_task_assets +
+        create_task_objects, blind_grasping_task.py:300-366)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            params,
+            has_box=True,
+            box_size=self.box_size,
+            box_mass=self.box_mass,
+            box_friction=self.box_friction,
+        )
+
+    def init_task_states(self, num_envs: int) -> Dict[str, jnp.ndarray]:
+        n = num_envs
+        return {
+            "success_duration_steps": jnp.zeros(n, dtype=jnp.int32),
+            "success_conditions_met": jnp.zeros(n, dtype=bool),
+            "current_stage": jnp.ones(n, dtype=jnp.int32),
+            "time_in_stage": jnp.zeros(n, dtype=jnp.float32),
+            "stage_contact_duration": jnp.zeros(n, dtype=jnp.float32),
+            "just_transitioned_to_stage2": jnp.zeros(n, dtype=bool),
+            "just_transitioned_to_stage3": jnp.zeros(n, dtype=bool),
+            "initial_box_pos": jnp.zeros((n, 3), dtype=jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def _detect_finger_box_contacts(self, obs_dict, box_contact_force, box_pos):
+        """Heuristic finger-box contact (blind_grasping_task.py:773-833)."""
+        box_mag = jnp.linalg.norm(box_contact_force, axis=-1)
+        box_has_contact = box_mag > self.contact_binary_threshold
+
+        n = box_pos.shape[0]
+        pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        dist = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
+        proximity = dist < (math.sqrt(3.0) * self.box_size / 2.0 * 1.2)
+
+        finger_has_contact = obs_dict["contact_binary"] > 0.5
+        return finger_has_contact & box_has_contact[:, None] & proximity
+
+    def compute_step(
+        self, obs_dict, task_states, physics, kin, body_contact_force,
+        box_contact_force, control_dt,
+    ) -> TaskStep:
+        n = physics.q.shape[0]
+        f32 = jnp.float32
+        ts = dict(task_states)
+        box_pos = physics.box_pos
+        box_vel = physics.box_linvel
+
+        # ---------- task observations (blind_grasping_task.py:549-653) ----------
+        obs: Dict[str, jnp.ndarray] = {}
+        obs["object_pos"] = box_pos
+        obs["object_vel"] = box_vel
+
+        pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        d_f2o = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
+        obs["finger_to_object_distances"] = d_f2o
+        obs["avg_finger_to_object_distance"] = d_f2o.mean(axis=1)
+        hdiff = jnp.abs(pads[:, :, 2] - box_pos[:, None, 2])
+        obs["finger_to_object_height_diff"] = hdiff
+        obs["avg_finger_to_object_height_diff"] = hdiff.mean(axis=1)
+        hand_pos = obs_dict["hand_pose"][:, :3]
+        obs["hand_to_object_distance"] = jnp.linalg.norm(hand_pos - box_pos, axis=-1)
+
+        # fingerpad geometry: 10 pairwise distances + first-3 centroid
+        iu, ju = jnp.triu_indices(5, k=1)
+        obs["fingerpad_distances"] = jnp.linalg.norm(
+            pads[:, iu] - pads[:, ju], axis=-1
+        )
+        obs["first_three_fingerpad_centroid"] = pads[:, :3].mean(axis=1)
+
+        # contact state (blind_grasping_task.py:668-683)
+        fb_contact = self._detect_finger_box_contacts(
+            obs_dict, box_contact_force, box_pos
+        )
+        thumb_contact = fb_contact[:, 0]
+        other_contact = fb_contact[:, 1:].any(axis=1)
+        grasp_state = thumb_contact & other_contact
+        obs["thumb_contact"] = thumb_contact.astype(f32)[:, None]
+        obs["other_fingers_contact"] = other_contact.astype(f32)[:, None]
+        obs["grasp_state"] = grasp_state.astype(f32)[:, None]
+
+        # success-duration tracking (blind_grasping_task.py:592-648)
+        num_on_box = fb_contact.sum(axis=1)
+        height_ok = box_pos[:, 2] > self.height_threshold
+        cond = height_ok & (num_on_box >= self.min_fingers_for_grasp)
+        steps = jnp.where(cond, ts["success_duration_steps"] + 1, 0)
+        ts["success_duration_steps"] = steps
+        ts["success_conditions_met"] = cond
+        obs["grasp_duration"] = (steps.astype(f32) * control_dt)[:, None]
+
+        # ---------- stage FSM (blind_grasping_task.py:835-956) ----------
+        stage = ts["current_stage"]
+        time_in_stage = ts["time_in_stage"] + control_dt
+        # stage-2 contact duration uses policy-observable sensors only
+        fc = obs_dict["contact_binary"] > 0.5
+        thumb_and_other = fc[:, 0] & fc[:, 1:].any(axis=1)
+        in_s2 = stage == 2
+        scd = jnp.where(
+            in_s2,
+            jnp.where(
+                thumb_and_other, ts["stage_contact_duration"] + control_dt, 0.0
+            ),
+            ts["stage_contact_duration"],
+        )
+
+        s1_complete = (stage == 1) & (time_in_stage >= self.stage1_duration)
+        s2_contact_ok = in_s2 & (scd >= self.stage2_contact_success_threshold)
+        s2_timeout = in_s2 & (time_in_stage >= self.stage2_duration)
+        s2_complete = s2_contact_ok | s2_timeout
+
+        just_t2 = s1_complete
+        just_t3 = s2_complete
+        stage = jnp.where(s1_complete, 2, stage)
+        stage = jnp.where(s2_complete, 3, stage)
+        time_in_stage = jnp.where(s1_complete | s2_complete, 0.0, time_in_stage)
+        scd = jnp.where(s1_complete | s2_complete, 0.0, scd)
+
+        ts["current_stage"] = stage
+        ts["time_in_stage"] = time_in_stage
+        ts["stage_contact_duration"] = scd
+        ts["just_transitioned_to_stage2"] = just_t2
+        ts["just_transitioned_to_stage3"] = just_t3
+
+        obs["current_stage"] = stage.astype(f32)[:, None]
+        obs["time_in_stage"] = time_in_stage[:, None]
+        progress = jnp.where(
+            stage == 1,
+            jnp.clip(time_in_stage / self.stage1_duration, 0.0, 1.0),
+            jnp.where(
+                stage == 2,
+                jnp.clip(time_in_stage / self.stage2_duration, 0.0, 1.0),
+                1.0,
+            ),
+        )
+        obs["stage_progress"] = progress[:, None]
+
+        # ---------- failure criteria (blind_grasping_task.py:1238-1364) ----------
+        pregrasp_ok = self._pregrasp_quality(obs, pads, box_pos, box_vel, ts)
+        failures = {
+            "box_too_far": obs["hand_to_object_distance"] > self.max_box_distance,
+            "stage1_pregrasp_failed": just_t2 & ~pregrasp_ok,
+            "stage2_contact_failed": just_t3 & ~grasp_state,
+            "stage3_grasp_lost": (stage == 3) & ~grasp_state,
+        }
+
+        # ---------- success criteria (blind_grasping_task.py:1210-1236) ----------
+        threshold_steps = int(round(self.contact_duration_threshold / control_dt))
+        successes = {"grasp_lift_success": steps >= threshold_steps}
+
+        # ---------- rewards (blind_grasping_task.py:980-1208) ----------
+        rewards = self._compute_rewards(
+            obs_dict, obs, pads, box_pos, box_vel, ts, stage, just_t2, just_t3,
+            failures, thumb_contact, other_contact, grasp_state,
+        )
+
+        return TaskStep(
+            task_obs=obs,
+            task_states=ts,
+            success_criteria=successes,
+            failure_criteria=failures,
+            reward_terms=rewards,
+        )
+
+    # ------------------------------------------------------------------
+    def _pregrasp_quality(self, obs, pads, box_pos, box_vel, ts):
+        """Privileged pregrasp quality (blind_grasping_task.py:1334-1364)."""
+        hdiff3 = jnp.abs(pads[:, :3, 2] - box_pos[:, None, 2])
+        height_ok = jnp.all(hdiff3 <= self.height_tolerance, axis=1)
+        centroid = obs["first_three_fingerpad_centroid"]
+        centroid_ok = (
+            jnp.linalg.norm(centroid - box_pos, axis=-1) <= self.centroid_tolerance
+        )
+        drift = jnp.linalg.norm(box_pos - ts["initial_box_pos"], axis=-1)
+        stability_ok = (drift <= self.position_drift_tolerance) & (
+            jnp.linalg.norm(box_vel, axis=-1) <= self.velocity_tolerance
+        )
+        return height_ok & centroid_ok & stability_ok
+
+    def _geometric_penetration(self, obs_dict, box_pos):
+        n = box_pos.shape[0]
+        tips = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        dist = jnp.linalg.norm(tips - box_pos[:, None, :], axis=-1)
+        min_dist = dist.min(axis=1)
+        threshold = self.box_size / 2.0 * self.geometric_penetration_factor
+        return min_dist < threshold, min_dist
+
+    def _compute_rewards(
+        self, obs_dict, obs, pads, box_pos, box_vel, ts, stage, just_t2, just_t3,
+        failures, thumb_contact, other_contact, grasp_state,
+    ):
+        f32 = jnp.float32
+        r: Dict[str, jnp.ndarray] = {}
+        s1 = (stage == 1).astype(f32)
+        s2 = (stage == 2).astype(f32)
+        s3 = (stage == 3).astype(f32)
+
+        # --- stage 1 (blind_grasping_task.py:1055-1112) ---
+        r["s1_height_alignment"] = (
+            jnp.exp(-self.height_alignment_decay
+                    * obs["avg_finger_to_object_height_diff"]) * s1
+        )
+        centroid_dist = jnp.linalg.norm(
+            obs["first_three_fingerpad_centroid"] - box_pos, axis=-1
+        )
+        r["s1_centroid_positioning"] = (
+            jnp.exp(-self.centroid_positioning_decay * centroid_dist) * s1
+        )
+        drift = jnp.linalg.norm(box_pos - ts["initial_box_pos"], axis=-1)
+        velmag = jnp.linalg.norm(box_vel, axis=-1)
+        r["s1_object_stability"] = (
+            jnp.exp(-self.object_stability_decay * (drift + velmag)) * s1
+        )
+        h3 = pads[:, :3, 2]
+        hvar = jnp.var(h3, axis=1, ddof=1)  # torch.var defaults to unbiased
+        r["s1_finger_height_consistency"] = (
+            jnp.exp(-self.first_three_height_consistency_decay * hvar) * s1
+        )
+        thumb_rot = obs_dict["all_finger_dof_pos"][
+            :, DOF_INDEX["r_f_joint1_1"] - 6
+        ]
+        r["s1_thumb_rotation"] = (
+            jnp.exp(-5.0 * jnp.abs(thumb_rot - math.pi / 2)) * s1
+        )
+
+        # --- stage 2 (blind_grasping_task.py:1114-1151) ---
+        r["s2_thumb_contact"] = thumb_contact.astype(f32) * s2
+        r["s2_other_fingers_contact"] = other_contact.astype(f32) * s2
+        r["s2_grasp_achievement"] = grasp_state.astype(f32) * s2
+        _, min_dist = self._geometric_penetration(obs_dict, box_pos)
+        min_reward_dist = self.box_size / 2.0 * self.proximity_min_distance_factor
+        safe_dist = jnp.maximum(min_dist, min_reward_dist)
+        r["s2_fingerpad_proximity"] = (
+            jnp.exp(-self.fingerpad_proximity_decay * safe_dist) * s2
+        )
+        base_vel_mag = jnp.linalg.norm(obs_dict["base_dof_vel"], axis=-1)
+        r["s2_base_stability"] = (
+            jnp.exp(-self.base_stability_decay * base_vel_mag) * s2
+        )
+
+        # --- stage 3 (blind_grasping_task.py:1153-1176) ---
+        height_above = box_pos[:, 2] - self.box_z
+        r["s3_object_height"] = (
+            jnp.clip(height_above / (self.height_threshold - self.box_z), 0.0, 1.0)
+            * s3
+        )
+        r["s3_grasp_maintenance"] = grasp_state.astype(f32) * s3
+        r["s3_grasp_duration"] = (
+            jnp.clip(
+                obs["grasp_duration"][:, 0] / self.contact_duration_threshold,
+                0.0, 1.0,
+            ) * s3
+        )
+
+        # --- completion bonuses (blind_grasping_task.py:1020-1040) ---
+        r["s1_completion"] = (
+            just_t2 & ~failures["stage1_pregrasp_failed"]
+        ).astype(f32)
+        r["s2_completion"] = (
+            just_t3 & ~failures["stage2_contact_failed"]
+        ).astype(f32)
+
+        # --- penetration penalty (blind_grasping_task.py:1194-1208) ---
+        threshold = self.box_size / 2.0 * self.geometric_penetration_factor
+        depth = jnp.clip(threshold - min_dist, 0.0, None)
+        r["penetration_penalty"] = depth * self.penetration_depth_scale
+        return r
+
+    # ------------------------------------------------------------------
+    def reset_task(self, key, num_envs, default_dof_pos) -> TaskReset:
+        n = num_envs
+        k_box, k_yaw, k_trans, k_rot, k_fing = jax.random.split(key, 5)
+
+        xy = (jax.random.uniform(k_box, (n, 2)) * 2 - 1) * self.box_xy_range
+        box_pos = jnp.concatenate(
+            [xy, jnp.full((n, 1), self.box_z, dtype=jnp.float32)], axis=-1
+        )
+        yaw = (jax.random.uniform(k_yaw, (n,)) * 2 - 1) * math.pi
+        box_quat = jnp.stack(
+            [jnp.zeros(n), jnp.zeros(n), jnp.sin(yaw / 2), jnp.cos(yaw / 2)],
+            axis=-1,
+        )
+
+        dof = jnp.tile(default_dof_pos[None], (n, 1))
+        trans = (jax.random.uniform(k_trans, (n, 3)) * 2 - 1) * self.hand_translation_range
+        rot = (jax.random.uniform(k_rot, (n, 3)) * 2 - 1) * self.hand_rotation_range
+        dof = dof.at[:, 0:3].set(trans).at[:, 3:6].set(rot)
+        ranges = jnp.full((20,), self.other_finger_range).at[0].set(
+            self.thumb_rotation_range
+        )
+        fingers = jax.random.uniform(k_fing, (n, 20)) * ranges
+        dof = dof.at[:, 6:26].set(fingers)
+
+        ts = self.init_task_states(n)
+        ts["initial_box_pos"] = box_pos
+        return TaskReset(
+            dof_pos=dof, box_pos=box_pos, box_quat=box_quat, task_states=ts
+        )

@@ -1,0 +1,151 @@
+"""Environment factory: config dict -> task object -> DexHandEnv.
+
+Parity with the reference factory (dexhand_env/factory.py:20-147):
+`create_dex_env` maps the task name onto a task class, builds the scene, and
+assembles all static sub-configs the jitted step function closes over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Type
+
+import numpy as np
+
+from dexrobot_isaac_tpu.constants import NUM_DOFS
+from dexrobot_isaac_tpu.envs import action as action_mod
+from dexrobot_isaac_tpu.envs import observations as obs_mod
+from dexrobot_isaac_tpu.envs import rewards as rew_mod
+from dexrobot_isaac_tpu.envs import termination as term_mod
+from dexrobot_isaac_tpu.envs.dexhand import DexHandEnv, EnvComponents
+from dexrobot_isaac_tpu.envs.tasks.api import DexTask
+from dexrobot_isaac_tpu.envs.tasks.base_task import BaseTask
+from dexrobot_isaac_tpu.envs.tasks.blind_grasping import BlindGraspingTask
+from dexrobot_isaac_tpu.models.dexhand021 import build_hand_model
+from dexrobot_isaac_tpu.physics.engine import HandPhysics
+from dexrobot_isaac_tpu.physics.types import SimParams
+from dexrobot_isaac_tpu.utils.config import get_by_path
+
+TASK_REGISTRY: Dict[str, Type[DexTask]] = {
+    "BaseTask": BaseTask,
+    "BlindGrasping": BlindGraspingTask,
+}
+
+
+def register_task(name: str, cls: Type[DexTask]) -> None:
+    """Register a custom task plugin (parity: factory task map)."""
+    TASK_REGISTRY[name] = cls
+
+
+def build_sim_params(cfg: Dict[str, Any]) -> SimParams:
+    sim = cfg.get("sim", {})
+    contact = sim.get("contact", {})
+    return SimParams(
+        dt=float(sim.get("dt", 0.005)),
+        substeps=int(sim.get("substeps", 4)),
+        gravity=float(sim.get("gravity", -9.81)),
+        contact_stiffness=float(contact.get("stiffness", 8000.0)),
+        contact_damping=float(contact.get("damping", 60.0)),
+        friction_stiffness=float(contact.get("friction_stiffness", 400.0)),
+        contact_beta=float(contact.get("beta", 0.2)),
+        max_depenetration_velocity=float(
+            contact.get("max_depenetration_velocity", 0.2)
+        ),
+        ground_friction=float(sim.get("ground_friction", 1.0)),
+        hand_friction=float(sim.get("hand_friction", 1.0)),
+    )
+
+
+def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
+    """Build a DexHandEnv from a composed config (parity: make_env,
+    factory.py:93-147)."""
+    task_cfg = cfg.get("task", {})
+    env_cfg = cfg.get("env", {})
+    task_name = task_cfg.get("name", "BaseTask")
+    if task_name not in TASK_REGISTRY:
+        raise ValueError(
+            f"Unknown task '{task_name}' (registered: {sorted(TASK_REGISTRY)})"
+        )
+    task = TASK_REGISTRY[task_name](task_cfg)
+
+    model = build_hand_model()
+    params = task.configure_scene(build_sim_params(cfg))
+    engine = HandPhysics(model=model, params=params)
+
+    steps_per_control = int(
+        get_by_path(cfg, "sim.physics_steps_per_control", 4)
+    )
+    control_dt = params.dt * steps_per_control
+
+    pipeline = action_mod.build_action_pipeline(
+        model=model,
+        control_mode=task_cfg.get("controlMode", "position"),
+        control_dt=control_dt,
+        policy_controls_base=bool(task_cfg.get("policy_controls_hand_base", True)),
+        policy_controls_fingers=bool(task_cfg.get("policy_controls_fingers", True)),
+        max_base_linear_velocity=float(task_cfg.get("max_base_linear_velocity", 0.5)),
+        max_base_angular_velocity=float(
+            task_cfg.get("max_base_angular_velocity", 1.5)
+        ),
+        max_finger_joint_velocity=float(
+            task_cfg.get("max_finger_joint_velocity", 1.0)
+        ),
+        custom_action_rule=task.custom_action_rule,
+        custom_filters=task.custom_post_filters,
+    )
+
+    obs_cfg = obs_mod.build_obs_config(
+        model=model,
+        policy_observation_keys=task_cfg.get("policy_observation_keys", []),
+        contact_force_bodies=task_cfg.get(
+            "contact_force_bodies",
+            ["r_f_link%d_4" % f for f in range(1, 6)],
+        ),
+        contact_binary_threshold=task_cfg.get("contact_binary_threshold", 1.0),
+        control_dt=control_dt,
+        num_actions=pipeline.num_actions,
+    )
+
+    import jax.numpy as jnp
+
+    weights = dict(task_cfg.get("reward_weights", {}))
+    reward_cfg = rew_mod.RewardConfig(
+        weights=weights,
+        finger_lower_limits=jnp.asarray(model.lower_limit[6:], dtype=jnp.float32),
+        finger_upper_limits=jnp.asarray(model.upper_limit[6:], dtype=jnp.float32),
+    )
+
+    term = task_cfg.get("termination", {})
+    hs = term.get("height_safety", {})
+    term_cfg = term_mod.TerminationConfig(
+        active_success_criteria=tuple(term.get("active_success_criteria", [])),
+        active_failure_criteria=tuple(term.get("active_failure_criteria", [])),
+        max_episode_length=int(env_cfg.get("episodeLength", 300)),
+        success_reward=float(weights.get("termination_success", 0.0)),
+        failure_penalty=float(weights.get("termination_failure_penalty", 0.0)),
+        timeout_penalty=float(weights.get("termination_timeout_penalty", 0.0)),
+        handbase_threshold=float(hs.get("handbase_threshold", 0.0)),
+        fingertip_threshold=float(hs.get("fingertip_threshold", 0.0)),
+    )
+
+    comps = EnvComponents(
+        num_envs=int(env_cfg.get("numEnvs", 1024)),
+        model=model,
+        engine=engine,
+        pipeline=pipeline,
+        obs_cfg=obs_cfg,
+        reward_cfg=reward_cfg,
+        term_cfg=term_cfg,
+        task=task,
+        physics_steps_per_control=steps_per_control,
+        control_dt=control_dt,
+        spawn_pos=np.asarray(
+            env_cfg.get("initialHandPos", [0.0, 0.0, 0.5]), dtype=np.float32
+        ),
+        default_dof_pos=np.zeros(NUM_DOFS, dtype=np.float32),
+        clip_observations=float(env_cfg.get("clipObservations", np.inf)),
+        clip_actions=float(env_cfg.get("clipActions", np.inf)),
+    )
+    if seed is None:
+        seed = int(get_by_path(cfg, "train.seed", 42))
+    return DexHandEnv(comps, seed=seed)

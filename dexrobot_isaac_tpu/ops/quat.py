@@ -1,0 +1,153 @@
+"""Batched quaternion / rotation math in JAX.
+
+Quaternions use the ``[x, y, z, w]`` convention throughout (the same layout the
+reference framework exposes in its observation tensors, e.g. `hand_pose` pos3 +
+quat4; reference: dexhand_env/components/physics/tensor_manager.py:273-275).
+
+All functions broadcast over arbitrary leading batch dimensions and are pure,
+jit- and vmap-friendly. This module is the TPU-native equivalent of the
+reference's `isaacgym.torch_utils` quaternion helpers plus
+`dexhand_env/utils/torch_jit_utils.py:15-227` and
+`dexhand_env/utils/coordinate_transforms.py:17-56`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_unit(q: jnp.ndarray) -> jnp.ndarray:
+    """Normalize quaternion(s) to unit length."""
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-9)
+
+
+def quat_identity(shape=()) -> jnp.ndarray:
+    """Identity quaternion(s) [0, 0, 0, 1] with given batch shape."""
+    q = jnp.zeros(tuple(shape) + (4,))
+    return q.at[..., 3].set(1.0)
+
+
+def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
+    """Conjugate (inverse for unit quaternions): [-x, -y, -z, w]."""
+    return jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
+
+
+def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product a*b for xyzw quaternions (broadcasting)."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vector(s) v by quaternion(s) q (broadcasting)."""
+    qvec = q[..., :3]
+    qw = q[..., 3:4]
+    t = 2.0 * jnp.cross(qvec, v)
+    return v + qw * t + jnp.cross(qvec, t)
+
+
+def quat_rotate_inverse(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vector(s) v by the inverse of quaternion(s) q."""
+    return quat_rotate(quat_conjugate(q), v)
+
+
+def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion from (unit) rotation axis and angle (radians)."""
+    angle = jnp.asarray(angle)
+    half = 0.5 * angle
+    xyz = axis * jnp.sin(half)[..., None]
+    w = jnp.cos(half)[..., None]
+    return jnp.concatenate([xyz, w], axis=-1)
+
+
+def quat_from_euler_xyz(
+    roll: jnp.ndarray, pitch: jnp.ndarray, yaw: jnp.ndarray
+) -> jnp.ndarray:
+    """Quaternion from intrinsic XYZ Euler angles (matches isaacgym semantics)."""
+    cr, sr = jnp.cos(roll * 0.5), jnp.sin(roll * 0.5)
+    cp, sp = jnp.cos(pitch * 0.5), jnp.sin(pitch * 0.5)
+    cy, sy = jnp.cos(yaw * 0.5), jnp.sin(yaw * 0.5)
+    return jnp.stack(
+        [
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+            cr * cp * cy + sr * sp * sy,
+        ],
+        axis=-1,
+    )
+
+
+def euler_xyz_from_quat(q: jnp.ndarray):
+    """Intrinsic XYZ (roll, pitch, yaw) Euler angles from quaternion(s)."""
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    sinr_cosp = 2.0 * (qw * qx + qy * qz)
+    cosr_cosp = 1.0 - 2.0 * (qx * qx + qy * qy)
+    roll = jnp.arctan2(sinr_cosp, cosr_cosp)
+
+    sinp = jnp.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+    pitch = jnp.arcsin(sinp)
+
+    siny_cosp = 2.0 * (qw * qz + qx * qy)
+    cosy_cosp = 1.0 - 2.0 * (qy * qy + qz * qz)
+    yaw = jnp.arctan2(siny_cosp, cosy_cosp)
+    return roll, pitch, yaw
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """3x3 rotation matrix (last two dims) from quaternion(s)."""
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
+    """Integrate unit quaternion(s) by world-frame angular velocity omega for dt.
+
+    q' = normalize(q + 0.5 * dt * omega_quat * q) -- first-order (exponential
+    map approximated), sufficient at physics substep rates.
+    """
+    omega_quat = jnp.concatenate(
+        [omega, jnp.zeros_like(omega[..., :1])], axis=-1
+    )
+    dq = 0.5 * dt * quat_mul(omega_quat, q)
+    return quat_unit(q + dq)
+
+
+def point_in_hand_frame(
+    point_world: jnp.ndarray, hand_pos: jnp.ndarray, hand_quat: jnp.ndarray
+) -> jnp.ndarray:
+    """Transform world-frame point(s) into the hand (body) frame.
+
+    Parity with reference `utils/coordinate_transforms.py:17-36`.
+    """
+    return quat_rotate_inverse(hand_quat, point_world - hand_pos)
+
+
+def point_in_world_frame(
+    point_hand: jnp.ndarray, hand_pos: jnp.ndarray, hand_quat: jnp.ndarray
+) -> jnp.ndarray:
+    """Transform hand-frame point(s) back into the world frame.
+
+    Parity with reference `utils/coordinate_transforms.py:39-56`.
+    """
+    return quat_rotate(hand_quat, point_hand) + hand_pos

@@ -1,0 +1,443 @@
+"""Batched articulated rigid-body simulator for the DexHand scenes.
+
+TPU-native replacement for the reference's L0 layer (Isaac Gym / PhysX,
+accessed via `gym.simulate` + tensor API; reference:
+dexhand_env/components/physics/physics_manager.py:73-119). Instead of an
+external C++/CUDA binary mutated through handles, the simulator here is a pure
+function
+
+    step(state, dof_targets) -> (state, StepInfo)
+
+compiled by XLA: forward kinematics over the 26-DOF reduced-coordinate tree,
+a CRBA joint-space mass matrix, implicitly-integrated PD actuation (stable at
+the reference's stiffness 10000 base / 20 finger gains), penalty-based
+contacts (hand collision spheres vs ground plane and a free box, box corners
+vs ground), and semi-implicit Euler integration with substeps. Everything is
+written single-world and batched with `vmap`, so thousands of lockstep envs
+compile to large fused batched ops (the reference's "all envs step together"
+invariant, docs/control-dt-timing-diagram.md:33-51, maps 1:1 onto SPMD).
+
+Design deviations from PhysX (deliberate, documented):
+- contacts are compliant (penalty) rather than LCP-solved; stiffness/damping
+  live in `SimParams` and play the role of PhysX's solver-iteration presets
+  (cfg/physics/{default,fast,accurate}.yaml).
+- velocity-product (Coriolis) bias terms are omitted; at the hand's commanded
+  velocity limits (<=1.5 rad/s, cfg/task/BaseTask.yaml:47-50) they are
+  negligible against the PD stiffness terms. Gravity is exact.
+- joint limits are enforced by projection (clamp + outward-velocity zeroing),
+  matching Isaac's `limited="true"` hard-stop semantics
+  (docs/DESIGN_DECISIONS.md:75-100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexrobot_isaac_tpu.models.dexhand021 import (
+    HandModel,
+    PRISMATIC,
+    build_hand_model,
+)
+from dexrobot_isaac_tpu.ops import quat as qm
+from dexrobot_isaac_tpu.physics.types import KinematicsOut, PhysicsState, SimParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepInfo:
+    """Per-physics-step diagnostics (leading dim = num_envs)."""
+
+    body_contact_force: jnp.ndarray  # (N, B, 3) net contact force per hand body
+    box_contact_force: jnp.ndarray   # (N, 3) net contact force on the box
+
+
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    m = jnp.stack(
+        [zero, -z, y, z, zero, -x, -y, x, zero], axis=-1
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+class HandPhysics:
+    """Precomputes static model arrays and exposes pure jax step functions.
+
+    Construct once per (model, params) pair; the instance is closed over at
+    trace time (never passed as a traced argument).
+    """
+
+    def __init__(self, model: HandModel | None = None, params: SimParams | None = None):
+        self.model = model or build_hand_model()
+        self.params = params or SimParams()
+        m = self.model
+        B = m.num_bodies
+
+        # ancestor-or-self masks: anc[j, b] = 1 iff joint j is on the path
+        # from the world to body b (joint j's motion moves body b).
+        anc = np.zeros((B, B), dtype=np.float32)
+        for b in range(B):
+            j = b
+            while j >= 0:
+                anc[j, b] = 1.0
+                j = int(m.parent[j])
+        self._anc_body = jnp.asarray(anc)                     # (B, B)
+        self._anc_sphere = jnp.asarray(anc[:, m.sphere_body])  # (B, S)
+
+        self._is_prismatic = m.joint_type == PRISMATIC  # numpy bool per body
+        self._has_post = [
+            not np.allclose(m.post_quat[i], [0, 0, 0, 1]) for i in range(B)
+        ]
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        self._axis = f32(m.axis)
+        self._attach_pos = f32(m.attach_pos)
+        self._attach_quat = f32(m.attach_quat)
+        self._post_quat = f32(m.post_quat)
+        self._mass = f32(m.mass)
+        self._com = f32(m.com)
+        self._inertia = f32(m.inertia)
+        self._lower = f32(m.lower_limit)
+        self._upper = f32(m.upper_limit)
+        self._kp = f32(m.stiffness)
+        self._kd = f32(m.damping)
+        self._armature = f32(m.armature)
+        self._sphere_body = jnp.asarray(m.sphere_body)
+        self._sphere_pos = f32(m.sphere_pos)
+        self._sphere_radius = f32(m.sphere_radius)
+        # effective mass per collision sphere for the impulse clamp: the
+        # attached body's mass (floored for very light links)
+        self._sphere_meff = f32(np.maximum(m.mass[m.sphere_body], 0.01))
+        self._site_body = jnp.asarray(m.site_body)
+        self._site_pos = f32(m.site_pos)
+        self._site_quat = f32(m.site_quat)
+        p = self.params
+        if p.has_box:
+            # solid cube inertia is isotropic: I = m s^2 / 6 * eye(3)
+            self._box_inertia = p.box_mass * p.box_size**2 / 6.0
+        self.substep_dt = p.dt / p.substeps
+
+    # ------------------------------------------------------------------
+    # forward kinematics (single world; vmap for batches)
+    # ------------------------------------------------------------------
+    def fk(self, q: jnp.ndarray, qd: jnp.ndarray, spawn_pos: jnp.ndarray) -> KinematicsOut:
+        """FK with velocity propagation. q, qd: (26,); spawn_pos: (3,)."""
+        m = self.model
+        B = m.num_bodies
+        pos, quat, lin, ang = [], [], [], []
+        axis_w_l, origin_w_l = [], []
+        qid = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=q.dtype)
+        for i in range(B):
+            p = int(m.parent[i])
+            if p < 0:
+                pp, pq = spawn_pos, qid
+                pv = pw = jnp.zeros(3, dtype=q.dtype)
+            else:
+                pp, pq, pv, pw = pos[p], quat[p], lin[p], ang[p]
+            o = pp + qm.quat_rotate(pq, self._attach_pos[i])
+            jq = qm.quat_mul(pq, self._attach_quat[i])
+            a_w = qm.quat_rotate(jq, self._axis[i])
+            v_o = pv + jnp.cross(pw, o - pp)
+            if self._is_prismatic[i]:
+                bp = o + a_w * q[i]
+                bq = jq
+                bv = v_o + jnp.cross(pw, bp - o) + a_w * qd[i]
+                bw = pw
+            else:
+                bp = o
+                bq = qm.quat_mul(jq, qm.quat_from_axis_angle(self._axis[i], q[i]))
+                bv = v_o
+                bw = pw + a_w * qd[i]
+            if self._has_post[i]:
+                bq = qm.quat_mul(bq, self._post_quat[i])
+            pos.append(bp), quat.append(bq), lin.append(bv), ang.append(bw)
+            axis_w_l.append(a_w), origin_w_l.append(o)
+
+        body_pos = jnp.stack(pos)
+        body_quat = jnp.stack(quat)
+        sb = self._site_body
+        site_pos = body_pos[sb] + qm.quat_rotate(body_quat[sb], self._site_pos)
+        site_quat = qm.quat_mul(body_quat[sb], self._site_quat)
+        return KinematicsOut(
+            body_pos=body_pos,
+            body_quat=body_quat,
+            body_linvel=jnp.stack(lin),
+            body_angvel=jnp.stack(ang),
+            dof_axis_w=jnp.stack(axis_w_l),
+            dof_origin_w=jnp.stack(origin_w_l),
+            site_pos=site_pos,
+            site_quat=site_quat,
+        )
+
+    # ------------------------------------------------------------------
+    # dynamics
+    # ------------------------------------------------------------------
+    def _motion_subspace(self, kin: KinematicsOut) -> jnp.ndarray:
+        """World Plücker motion subspace per DOF: S = (omega, v_origin). (B, 6)."""
+        a, o = kin.dof_axis_w, kin.dof_origin_w
+        prism = jnp.asarray(self._is_prismatic)[:, None]
+        s_ang = jnp.where(prism, 0.0, a)
+        s_lin = jnp.where(prism, a, jnp.cross(o, a))
+        return jnp.concatenate([s_ang, s_lin], axis=-1)
+
+    def mass_matrix(self, kin: KinematicsOut, S: jnp.ndarray) -> jnp.ndarray:
+        """Composite-rigid-body mass matrix (26, 26) in world coordinates."""
+        m = self.model
+        R = qm.quat_to_rotmat(kin.body_quat)            # (B,3,3)
+        com_w = kin.body_pos + jnp.einsum("bij,bj->bi", R, self._com)
+        i_c = jnp.einsum("bij,bjk,blk->bil", R, self._inertia, R)
+        cx = _skew(com_w)                                # (B,3,3)
+        mass = self._mass[:, None, None]
+        top_l = i_c - mass * jnp.einsum("bij,bjk->bik", cx, cx)
+        top_r = mass * cx
+        bot_l = -mass * cx
+        bot_r = mass * jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
+        i_o = jnp.concatenate(
+            [
+                jnp.concatenate([top_l, top_r], axis=-1),
+                jnp.concatenate([bot_l, bot_r], axis=-1),
+            ],
+            axis=-2,
+        )                                                # (B,6,6) about world origin
+        # composite subtree inertias (reverse topological accumulation)
+        ic = [i_o[i] for i in range(m.num_bodies)]
+        for i in reversed(range(m.num_bodies)):
+            p = int(m.parent[i])
+            if p >= 0:
+                ic[p] = ic[p] + ic[i]
+        ic = jnp.stack(ic)                               # (B,6,6)
+        f = jnp.einsum("bij,bj->bi", ic, S)              # (B,6)
+        raw = S @ f.T                                    # (B,B)
+        A = self._anc_body                               # anc-or-self mask
+        am = raw * A
+        return am + am.T - jnp.diag(jnp.diag(raw))
+
+    # ------------------------------------------------------------------
+    # contacts
+    # ------------------------------------------------------------------
+    def _penalty_force(self, depth, normal, rel_vel, mu, m_eff):
+        """Compliant contact force on the first body; depth>0 means contact.
+
+        The spring-damper force is clamped by the impulse that would stop the
+        approach velocity and correct a `contact_beta` fraction of the
+        penetration within one substep (a one-shot sequential-impulse bound).
+        This keeps arbitrarily stiff contacts unconditionally stable under
+        explicit integration -- the role PhysX's solver iterations play in the
+        reference's physics presets (cfg/physics/default.yaml:7-9).
+        """
+        p = self.params
+        h = self.substep_dt
+        active = (depth > 0.0).astype(normal.dtype)
+        vn = jnp.sum(rel_vel * normal, axis=-1)
+        fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
+        correction = jnp.minimum(
+            p.contact_beta * depth / h, p.max_depenetration_velocity
+        )
+        fn_impulse = m_eff / h * (-vn + correction)
+        fn_mag = jnp.clip(jnp.minimum(fn_spring, fn_impulse), 0.0, None) * active
+        vt = rel_vel - vn[..., None] * normal
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        ft_mag = jnp.minimum(
+            jnp.minimum(p.friction_stiffness * vt_norm, mu * fn_mag),
+            m_eff / h * vt_norm,
+        )
+        ft = -vt / (vt_norm[..., None] + 1e-6) * ft_mag[..., None]
+        return fn_mag[..., None] * normal + ft
+
+    def _contacts(self, kin: KinematicsOut, state: PhysicsState):
+        """All contact forces for one world.
+
+        Returns (sphere_force (S,3), sphere_point (S,3),
+                 box_force (3,), box_torque (3,), box_plane_force (3,)).
+        """
+        p = self.params
+        sb = self._sphere_body
+        sp = kin.body_pos[sb] + qm.quat_rotate(kin.body_quat[sb], self._sphere_pos)
+        sv = kin.body_linvel[sb] + jnp.cross(
+            kin.body_angvel[sb], sp - kin.body_pos[sb]
+        )
+        r = self._sphere_radius
+
+        # --- hand spheres vs ground plane (z = 0) ---
+        mu_hg = 0.5 * (p.hand_friction + p.ground_friction)
+        depth = r - sp[:, 2]
+        n_up = jnp.zeros_like(sp).at[:, 2].set(1.0)
+        f_plane = self._penalty_force(depth, n_up, sv, mu_hg, self._sphere_meff)
+
+        sphere_force = f_plane
+        box_force = jnp.zeros(3, dtype=sp.dtype)
+        box_torque = jnp.zeros(3, dtype=sp.dtype)
+        box_plane_force = jnp.zeros(3, dtype=sp.dtype)
+
+        if p.has_box:
+            h = p.box_size / 2.0
+            Rb = qm.quat_to_rotmat(state.box_quat)
+            # sphere centers in box frame
+            local = (sp - state.box_pos) @ Rb          # == Rb^T @ (sp - c)
+            closest = jnp.clip(local, -h, h)
+            d = local - closest
+            dist = jnp.linalg.norm(d, axis=-1)
+            outside = dist > 1e-9
+            n_out = d / (dist[:, None] + 1e-9)
+            # sphere center inside the box: push out through nearest face
+            face_gap = h - jnp.abs(local)              # (S,3) >= 0 inside
+            min_ax = jnp.argmin(face_gap, axis=-1)
+            sign = jnp.sign(
+                jnp.take_along_axis(local, min_ax[:, None], axis=-1)[:, 0]
+            )
+            n_in = jax.nn.one_hot(min_ax, 3, dtype=sp.dtype) * jnp.where(
+                sign == 0.0, 1.0, sign
+            )[:, None]
+            depth_out = r - dist
+            depth_in = r + jnp.take_along_axis(face_gap, min_ax[:, None], axis=-1)[:, 0]
+            n_local = jnp.where(outside[:, None], n_out, n_in)
+            depth_b = jnp.where(outside, depth_out, depth_in)
+            n_world = n_local @ Rb.T
+            surf_local = jnp.where(outside[:, None], closest, local)
+            p_c = state.box_pos + surf_local @ Rb.T
+            v_boxpt = state.box_linvel + jnp.cross(
+                state.box_angvel, p_c - state.box_pos
+            )
+            rel = sv - v_boxpt
+            mu_hb = 0.5 * (p.hand_friction + p.box_friction)
+            # contact effective mass including the box's rotational response
+            # (the sequential-impulse "normal mass"); without the |r x n|^2/I
+            # term a light box picks up unbounded spin from offset impacts
+            r_c = p_c - state.box_pos
+            ang_term = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / self._box_inertia
+            m_red = 1.0 / (1.0 / self._sphere_meff + 1.0 / p.box_mass + ang_term)
+            f_box = self._penalty_force(depth_b, n_world, rel, mu_hb, m_red)
+            sphere_force = sphere_force + f_box
+            react = -f_box
+            box_force = jnp.sum(react, axis=0)
+            box_torque = jnp.sum(jnp.cross(p_c - state.box_pos, react), axis=0)
+
+            # --- box corners vs ground plane ---
+            corners_l = (
+                jnp.array(
+                    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    dtype=sp.dtype,
+                )
+                * h
+            )
+            corners_w = state.box_pos + corners_l @ Rb.T
+            vc = state.box_linvel + jnp.cross(
+                state.box_angvel, corners_w - state.box_pos
+            )
+            mu_bg = 0.5 * (p.box_friction + p.ground_friction)
+            n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
+            r_c8 = corners_w - state.box_pos
+            ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / self._box_inertia
+            # linear part /4: a resting box loads ~4 corners simultaneously
+            m_corner = 1.0 / (4.0 / p.box_mass + ang8)
+            f_c = self._penalty_force(-corners_w[:, 2], n_up8, vc, mu_bg, m_corner)
+            box_plane_force = jnp.sum(f_c, axis=0)
+            box_force = box_force + box_plane_force
+            box_torque = box_torque + jnp.sum(
+                jnp.cross(corners_w - state.box_pos, f_c), axis=0
+            )
+
+        return sphere_force, sp, box_force, box_torque
+
+    # ------------------------------------------------------------------
+    # substep / step
+    # ------------------------------------------------------------------
+    def _substep(self, state: PhysicsState, dof_targets, spawn_pos):
+        p = self.params
+        hdt = self.substep_dt
+        kin = self.fk(state.q, state.qd, spawn_pos)
+        S = self._motion_subspace(kin)
+
+        sphere_force, sphere_pt, box_f, box_t = self._contacts(kin, state)
+
+        # spatial forces about world origin, accumulated per hand body
+        n_contact = jnp.cross(sphere_pt, sphere_force)            # (S,3)
+        body_w = jnp.concatenate(
+            [
+                jax.ops.segment_sum(n_contact, self._sphere_body, self.model.num_bodies),
+                jax.ops.segment_sum(sphere_force, self._sphere_body, self.model.num_bodies),
+            ],
+            axis=-1,
+        )                                                          # (B,6)
+        # gravity at each body com
+        R = qm.quat_to_rotmat(kin.body_quat)
+        com_w = kin.body_pos + jnp.einsum("bij,bj->bi", R, self._com)
+        f_g = jnp.zeros_like(com_w).at[:, 2].set(self._mass * p.gravity)
+        body_w = body_w + jnp.concatenate([jnp.cross(com_w, f_g), f_g], axis=-1)
+
+        subtree_w = self._anc_body @ body_w                        # (B,6)
+        Q = jnp.sum(S * subtree_w, axis=-1)                        # (26,)
+
+        M = self.mass_matrix(kin, S) + jnp.diag(self._armature)
+        A = M + jnp.diag(hdt * self._kd + hdt * hdt * self._kp)
+        rhs = M @ state.qd + hdt * (self._kp * (dof_targets - state.q) + Q)
+        qd_new = jax.scipy.linalg.solve(A, rhs, assume_a="pos")
+        q_new = state.q + hdt * qd_new
+
+        # hard joint limits: project + zero outward velocity
+        low_hit = q_new < self._lower
+        high_hit = q_new > self._upper
+        q_new = jnp.clip(q_new, self._lower, self._upper)
+        qd_new = jnp.where(low_hit & (qd_new < 0), 0.0, qd_new)
+        qd_new = jnp.where(high_hit & (qd_new > 0), 0.0, qd_new)
+
+        if p.has_box:
+            inv_i = 1.0 / self._box_inertia
+            lin = state.box_linvel + hdt * (
+                box_f / p.box_mass + jnp.array([0.0, 0.0, p.gravity], dtype=box_f.dtype)
+            )
+            ang = state.box_angvel + hdt * inv_i * box_t  # isotropic cube inertia
+            # PhysX-style velocity caps (PhysX defaults maxAngularVelocity ~64)
+            lin_n = jnp.linalg.norm(lin)
+            lin = lin * jnp.minimum(1.0, 10.0 / (lin_n + 1e-9))
+            ang_n = jnp.linalg.norm(ang)
+            ang = ang * jnp.minimum(1.0, 64.0 / (ang_n + 1e-9))
+            pos = state.box_pos + hdt * lin
+            quat = qm.quat_integrate(state.box_quat, ang, hdt)
+            new_state = PhysicsState(q_new, qd_new, pos, quat, lin, ang)
+        else:
+            new_state = dataclasses.replace(state, q=q_new, qd=qd_new)
+
+        body_cf = jax.ops.segment_sum(
+            sphere_force, self._sphere_body, self.model.num_bodies
+        )
+        return new_state, StepInfo(body_contact_force=body_cf, box_contact_force=box_f)
+
+    def step_single(
+        self, state: PhysicsState, dof_targets: jnp.ndarray, spawn_pos: jnp.ndarray
+    ) -> Tuple[PhysicsState, StepInfo]:
+        """One physics step (= `substeps` integrator substeps) for one world.
+
+        Mirrors PhysicsManager.step_physics (physics_manager.py:73-119): the
+        contact forces reported are those of the final substep, matching
+        PhysX's CC_LAST_SUBSTEP contact collection (cfg/config.yaml:36).
+        """
+
+        def body(carry, _):
+            s, _info = carry
+            s, info = self._substep(s, dof_targets, spawn_pos)
+            return (s, info), None
+
+        zero_info = StepInfo(
+            body_contact_force=jnp.zeros((self.model.num_bodies, 3), dtype=state.q.dtype),
+            box_contact_force=jnp.zeros(3, dtype=state.q.dtype),
+        )
+        (state, info), _ = jax.lax.scan(
+            body, (state, zero_info), None, length=self.params.substeps
+        )
+        return state, info
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: PhysicsState, dof_targets: jnp.ndarray, spawn_pos: jnp.ndarray):
+        """Batched physics step. All args have leading num_envs dim."""
+        return jax.vmap(self.step_single)(state, dof_targets, spawn_pos)
+
+    @partial(jax.jit, static_argnums=0)
+    def kinematics(self, state: PhysicsState, spawn_pos: jnp.ndarray) -> KinematicsOut:
+        """Batched FK only (for observation/reset paths)."""
+        return jax.vmap(self.fk)(state.q, state.qd, spawn_pos)

@@ -1,0 +1,91 @@
+"""Physics state pytrees and simulation parameters.
+
+The state schema mirrors what the reference framework reads out of Isaac Gym's
+global tensors (reference: dexhand_env/components/physics/tensor_manager.py:
+dof_state (N, D, 2), rigid_body_states (N, B, 13), actor_root_state (N, A, 13),
+contact forces (N, B, 3)), re-cut as a functional pytree: the simulator is a
+pure function `(model, state, dof_targets) -> state`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PhysicsState:
+    """Dynamic state of one batch of lockstep worlds (leading dim = num_envs).
+
+    ``box_*`` fields always exist to keep a single pytree structure across
+    tasks; scenes without a free object simply never read or step them.
+    """
+
+    q: jnp.ndarray            # (N, 26) joint positions
+    qd: jnp.ndarray           # (N, 26) joint velocities
+    box_pos: jnp.ndarray      # (N, 3)
+    box_quat: jnp.ndarray     # (N, 4) xyzw
+    box_linvel: jnp.ndarray   # (N, 3)
+    box_angvel: jnp.ndarray   # (N, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KinematicsOut:
+    """Forward-kinematics products consumed by contacts, obs, and rewards."""
+
+    body_pos: jnp.ndarray     # (N, B, 3) body frame origins, world
+    body_quat: jnp.ndarray    # (N, B, 4)
+    body_linvel: jnp.ndarray  # (N, B, 3) velocity of body frame origin
+    body_angvel: jnp.ndarray  # (N, B, 3)
+    dof_axis_w: jnp.ndarray   # (N, B, 3) world joint axis per DOF
+    dof_origin_w: jnp.ndarray  # (N, B, 3) world joint anchor per DOF
+    site_pos: jnp.ndarray     # (N, S, 3)
+    site_quat: jnp.ndarray    # (N, S, 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static simulation parameters (analog of the reference's `sim` config
+    block, cfg/config.yaml:21-40, re-expressed for a penalty-based solver)."""
+
+    dt: float = 0.005                 # physics step (s)
+    substeps: int = 4                 # integration substeps per physics step
+    gravity: float = -9.81
+    # penalty contact model
+    contact_stiffness: float = 8000.0   # N/m
+    contact_damping: float = 60.0       # N/(m/s)
+    friction_stiffness: float = 400.0   # N/(m/s) viscous cap before Coulomb
+    contact_beta: float = 0.2           # penetration correction per substep
+    # cap on the separation velocity contacts may impart, exactly PhysX's
+    # max_depenetration_velocity (reference cfg/config.yaml:33 = 0.2)
+    max_depenetration_velocity: float = 0.2
+    # box (free object) scene; None-like defaults used when has_box=False
+    has_box: bool = False
+    box_size: float = 0.05
+    box_mass: float = 0.1
+    box_friction: float = 1.0
+    hand_friction: float = 1.0
+    ground_friction: float = 1.0
+
+
+def make_initial_physics_state(
+    num_envs: int,
+    num_dofs: int = 26,
+    box_pos: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> PhysicsState:
+    zeros3 = jnp.zeros((num_envs, 3), dtype=dtype)
+    quat = jnp.zeros((num_envs, 4), dtype=dtype).at[:, 3].set(1.0)
+    return PhysicsState(
+        q=jnp.zeros((num_envs, num_dofs), dtype=dtype),
+        qd=jnp.zeros((num_envs, num_dofs), dtype=dtype),
+        box_pos=zeros3 if box_pos is None else jnp.asarray(box_pos, dtype=dtype),
+        box_quat=quat,
+        box_linvel=zeros3,
+        box_angvel=zeros3,
+    )

@@ -1,0 +1,189 @@
+"""Physics engine validation: FK semantics, PD tracking, contacts, box dynamics.
+
+Validates the documented reference model semantics:
+- hand quaternion [0, sqrt(.5), 0, sqrt(.5)] at ARR=0 (docs/DESIGN_DECISIONS.md:49-73)
+- ARTz moves the hand vertically relative to spawn (docs/reference-coordinate-systems.md:13-43)
+- fingers extend along world +X at q=0, palm facing down
+- strong PD position control tracks targets; joint limits hold
+- free box falls under gravity and rests on the plane without jitter
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.constants import DOF_INDEX, NUM_DOFS
+from dexrobot_isaac_tpu.models.dexhand021 import build_hand_model
+from dexrobot_isaac_tpu.physics.engine import HandPhysics
+from dexrobot_isaac_tpu.physics.types import PhysicsState, SimParams, make_initial_physics_state
+
+SPAWN = jnp.array([[0.0, 0.0, 0.5]], dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def phys():
+    return HandPhysics(params=SimParams(dt=0.005, substeps=4))
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_hand_model()
+
+
+def fk_at(phys, q_np):
+    state = make_initial_physics_state(1)
+    state = PhysicsState(
+        q=jnp.asarray(q_np, dtype=jnp.float32)[None],
+        qd=state.qd, box_pos=state.box_pos, box_quat=state.box_quat,
+        box_linvel=state.box_linvel, box_angvel=state.box_angvel,
+    )
+    return phys.kinematics(state, SPAWN)
+
+
+class TestFK:
+    def test_hand_base_builtin_rotation(self, phys, model):
+        kin = fk_at(phys, np.zeros(NUM_DOFS))
+        palm = model.body_index("right_hand_base")
+        np.testing.assert_allclose(kin.body_pos[0, palm], [0.0, 0.0, 0.5], atol=1e-6)
+        q = np.abs(np.asarray(kin.body_quat[0, palm]))
+        np.testing.assert_allclose(q, [0.0, np.sqrt(0.5), 0.0, np.sqrt(0.5)], atol=1e-5)
+
+    def test_artz_relative_motion(self, phys, model):
+        q = np.zeros(NUM_DOFS)
+        q[DOF_INDEX["ARTz"]] = 0.1
+        kin = fk_at(phys, q)
+        palm = model.body_index("right_hand_base")
+        np.testing.assert_allclose(kin.body_pos[0, palm], [0.0, 0.0, 0.6], atol=1e-6)
+
+    def test_fingers_point_forward(self, phys, model):
+        kin = fk_at(phys, np.zeros(NUM_DOFS))
+        palm_pos = np.asarray(kin.body_pos[0, model.body_index("right_hand_base")])
+        for tip in ["r_f_link2_tip", "r_f_link3_tip", "r_f_link4_tip", "r_f_link5_tip"]:
+            tp = np.asarray(kin.site_pos[0, model.site_index(tip)])
+            rel = tp - palm_pos
+            assert rel[0] > 0.10, f"{tip} should be forward (+X): {rel}"
+            assert abs(rel[2]) < 0.03, f"{tip} roughly in palm plane: {rel}"
+
+    def test_thumb_points_left(self, phys, model):
+        kin = fk_at(phys, np.zeros(NUM_DOFS))
+        palm_pos = np.asarray(kin.body_pos[0, model.body_index("right_hand_base")])
+        tp = np.asarray(kin.site_pos[0, model.site_index("r_f_link1_tip")])
+        assert (tp - palm_pos)[1] > 0.08, "thumb extends +Y at q=0"
+
+    def test_thumb_rotation_opposes(self, phys, model):
+        q = np.zeros(NUM_DOFS)
+        q[DOF_INDEX["r_f_joint1_1"]] = np.pi / 2
+        kin = fk_at(phys, q)
+        base = np.asarray(
+            kin.body_pos[0, model.body_index("r_f_link1_1")]
+        )
+        tp = np.asarray(kin.site_pos[0, model.site_index("r_f_link1_tip")])
+        assert (tp - base)[2] < -0.05, "thumb rotated 90deg points down (opposition)"
+
+    def test_finger_curl_goes_down(self, phys, model):
+        q = np.zeros(NUM_DOFS)
+        for j in ["r_f_joint2_2", "r_f_joint2_3", "r_f_joint2_4"]:
+            q[DOF_INDEX[j]] = 1.0
+        kin = fk_at(phys, q)
+        tip_curl = np.asarray(kin.site_pos[0, model.site_index("r_f_link2_tip")])
+        kin0 = fk_at(phys, np.zeros(NUM_DOFS))
+        tip_flat = np.asarray(kin0.site_pos[0, model.site_index("r_f_link2_tip")])
+        assert tip_curl[2] < tip_flat[2] - 0.03, "curling lowers the fingertip"
+
+    def test_arrz_yaws_hand(self, phys, model):
+        q = np.zeros(NUM_DOFS)
+        q[DOF_INDEX["ARRz"]] = np.pi / 2
+        kin = fk_at(phys, q)
+        palm_pos = np.asarray(kin.body_pos[0, model.body_index("right_hand_base")])
+        tp = np.asarray(kin.site_pos[0, model.site_index("r_f_link3_tip")])
+        rel = tp - palm_pos
+        assert rel[1] > 0.10 and abs(rel[0]) < 0.05, "yaw 90deg turns fingers to +Y"
+
+
+class TestDynamics:
+    def test_pd_holds_pose_under_gravity(self, phys):
+        state = make_initial_physics_state(1)
+        targets = jnp.zeros((1, NUM_DOFS))
+        for _ in range(100):  # 0.5 s
+            state, _ = phys.step(state, targets, SPAWN)
+        q = np.asarray(state.q[0])
+        assert np.abs(q[:6]).max() < 5e-3, f"base held at spawn: {q[:6]}"
+        assert np.abs(q[6:]).max() < 0.12, f"fingers near zero: {q[6:]}"
+
+    def test_pd_tracks_base_target(self, phys):
+        state = make_initial_physics_state(1)
+        targets = jnp.zeros((1, NUM_DOFS)).at[0, DOF_INDEX["ARTz"]].set(0.2)
+        for _ in range(200):  # 1 s
+            state, _ = phys.step(state, targets, SPAWN)
+        assert abs(float(state.q[0, DOF_INDEX["ARTz"]]) - 0.2) < 0.01
+
+    def test_pd_tracks_finger_target(self, phys):
+        state = make_initial_physics_state(1)
+        targets = jnp.zeros((1, NUM_DOFS)).at[0, DOF_INDEX["r_f_joint2_2"]].set(1.0)
+        for _ in range(200):
+            state, _ = phys.step(state, targets, SPAWN)
+        assert abs(float(state.q[0, DOF_INDEX["r_f_joint2_2"]]) - 1.0) < 0.05
+
+    def test_joint_limits_hold(self, phys):
+        state = make_initial_physics_state(1)
+        # command far beyond the upper limit of the index spread (0.3)
+        targets = jnp.zeros((1, NUM_DOFS)).at[0, DOF_INDEX["r_f_joint2_1"]].set(5.0)
+        for _ in range(100):
+            state, _ = phys.step(state, targets, SPAWN)
+        assert float(state.q[0, DOF_INDEX["r_f_joint2_1"]]) <= 0.3 + 1e-5
+
+    def test_velocities_finite_and_bounded(self, phys):
+        state = make_initial_physics_state(1)
+        targets = jnp.full((1, NUM_DOFS), 0.5)
+        for _ in range(50):
+            state, _ = phys.step(state, targets, SPAWN)
+        assert np.isfinite(np.asarray(state.qd)).all()
+        assert np.abs(np.asarray(state.qd)).max() < 50.0
+
+
+class TestBox:
+    @pytest.fixture(scope="class")
+    def bphys(self):
+        return HandPhysics(
+            params=SimParams(dt=0.01, substeps=4, has_box=True, box_size=0.05,
+                             box_mass=0.1)
+        )
+
+    def test_box_falls_and_rests(self, bphys):
+        state = make_initial_physics_state(1, box_pos=jnp.array([[0.3, 0.0, 0.2]]))
+        # hand far away so it cannot touch the box
+        spawn = jnp.array([[0.0, 0.0, 1.5]], dtype=jnp.float32)
+        targets = jnp.zeros((1, NUM_DOFS))
+        for _ in range(150):  # 1.5 s
+            state, info = bphys.step(state, targets, spawn)
+        z = float(state.box_pos[0, 2])
+        assert 0.020 < z < 0.030, f"box rests near half-size 0.025: {z}"
+        assert float(jnp.linalg.norm(state.box_linvel[0])) < 0.02
+        # ground supports the box: net upward contact ~ m*g
+        fz = float(info.box_contact_force[0, 2])
+        assert abs(fz - 0.1 * 9.81) < 0.3, f"support force ~ mg: {fz}"
+
+    def test_box_contact_with_hand_spheres(self, bphys):
+        # drive the hand down onto the box and expect contact forces on the
+        # distal links and a reaction on the box
+        state = make_initial_physics_state(1, box_pos=jnp.array([[0.08, 0.0, 0.025]]))
+        spawn = jnp.array([[0.0, 0.0, 0.12]], dtype=jnp.float32)
+        targets = jnp.zeros((1, NUM_DOFS)).at[0, DOF_INDEX["ARTz"]].set(-0.06)
+        hit = False
+        for _ in range(100):
+            state, info = bphys.step(state, targets, spawn)
+            if float(jnp.abs(info.body_contact_force).sum()) > 0.01:
+                hit = True
+        assert hit, "hand should contact the box"
+        assert np.isfinite(np.asarray(state.box_pos)).all()
+
+    def test_batched_envs_independent(self, bphys):
+        state = make_initial_physics_state(
+            2, box_pos=jnp.array([[0.3, 0.0, 0.1], [0.3, 0.0, 0.3]])
+        )
+        spawn = jnp.tile(jnp.array([[0.0, 0.0, 1.5]], dtype=jnp.float32), (2, 1))
+        targets = jnp.zeros((2, NUM_DOFS))
+        state, _ = bphys.step(state, targets, spawn)
+        # env 1's box (higher) is still falling from a different height
+        assert float(state.box_pos[1, 2]) > float(state.box_pos[0, 2])
