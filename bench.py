@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: BlindGrasping env throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric (per BASELINE.json): env-steps/s/chip at 4096 envs on BlindGrasping —
+each env-step is one full control step (action pipeline -> 4 physics steps x
+substeps -> observations/rewards/termination -> masked auto-reset), the same
+unit the reference's PhysX pipeline steps at.
+
+The reference publishes no numbers (BASELINE.md): its only quantitative claim
+is "thousands of parallel hands at 60+ FPS on a single GPU"
+(docs/DESIGN_DECISIONS.md:166). We take 4096 envs x 60 steps/s = 245,760
+env-steps/s as the documented single-accelerator proxy baseline and report
+vs_baseline against it.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    import jax
+    import jax.numpy as jnp
+
+    from dexrobot_isaac_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from dexrobot_isaac_tpu.factory import make_env
+    from dexrobot_isaac_tpu.utils.config import load_config
+
+    cfg = load_config([
+        "task=BlindGrasping",
+        f"numEnvs={num_envs}",
+    ])
+    env = make_env(cfg)
+
+    state, obs = env._reset_jit(jax.random.key(0))
+    step = jax.jit(env.step_fn, donate_argnums=0)
+
+    key = jax.random.key(1)
+    actions = jax.random.uniform(
+        key, (num_envs, env.num_actions), minval=-1.0, maxval=1.0
+    )
+
+    # warmup: compile + a few steps
+    for _ in range(3):
+        state, obs, rew, done, _ = step(state, actions)
+    jax.block_until_ready(obs)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, obs, rew, done, _ = step(state, actions)
+    jax.block_until_ready(obs)
+    dt = time.perf_counter() - t0
+
+    env_steps_per_s = num_envs * steps / dt
+    baseline = 245760.0  # 4096 envs x 60 FPS, docs/DESIGN_DECISIONS.md:166
+    print(json.dumps({
+        "metric": f"env-steps/s/chip (BlindGrasping, {num_envs} envs)",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / baseline, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

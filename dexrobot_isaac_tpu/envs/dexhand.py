@@ -172,12 +172,22 @@ class DexHandEnv:
             c.pipeline, actions, state.active_prev_targets, state.active_rule_targets
         )
 
-        # --- physics: N lockstep steps ---
-        phys = state.physics
+        # --- physics: N lockstep steps (scanned to keep the HLO small) ---
         step_batch = jax.vmap(c.engine.step_single, in_axes=(0, 0, 0))
-        info = None
-        for _ in range(c.physics_steps_per_control):
-            phys, info = step_batch(phys, full_targets, self._spawn)
+
+        def phys_body(carry, _):
+            ph, _info = carry
+            ph, inf = step_batch(ph, full_targets, self._spawn)
+            return (ph, inf), None
+
+        zero_info = StepInfo(
+            body_contact_force=state.body_contact_force,
+            box_contact_force=state.box_contact_force,
+        )
+        (phys, info), _ = jax.lax.scan(
+            phys_body, (state.physics, zero_info), None,
+            length=c.physics_steps_per_control,
+        )
         kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
 
         # --- post-physics ---
@@ -368,10 +378,24 @@ class DexHandEnv:
             prev_hand_vel=jnp.zeros((n, 3), dtype=jnp.float32),
             prev_hand_ang_vel=jnp.zeros((n, 3), dtype=jnp.float32),
             prev_contacts=jnp.zeros((n, n_contact), dtype=bool),
-            success_flags={k: jnp.zeros(n, dtype=bool)
-                           for k in self.comps.term_cfg.active_success_criteria},
-            failure_flags={k: jnp.zeros(n, dtype=bool)
-                           for k in self.comps.term_cfg.active_failure_criteria},
+            # flag keys must match what evaluate_termination will track: with
+            # empty active_* lists ALL produced criteria are active
+            # (termination_manager.py:160-170 "empty means use all available")
+            success_flags={
+                k: jnp.zeros(n, dtype=bool)
+                for k in tstep.success_criteria
+                if not c.term_cfg.active_success_criteria
+                or k in c.term_cfg.active_success_criteria
+            },
+            failure_flags={
+                k: jnp.zeros(n, dtype=bool)
+                for k in {
+                    **term_mod.builtin_failure_criteria(c.term_cfg, obs_dict),
+                    **tstep.failure_criteria,
+                }
+                if not c.term_cfg.active_failure_criteria
+                or k in c.term_cfg.active_failure_criteria
+            },
             consecutive_successes=jnp.zeros((), dtype=jnp.int32),
             task_states=tstep.task_states,
             rng=key,

@@ -1,0 +1,41 @@
+"""Actor-critic network for PPO.
+
+Parity with the reference's rl_games network config
+(cfg/train/BaseTaskPPO.yaml:8-31): shared MLP [512, 256, 128] with ELU
+(`separate: False`), linear mu head, state-independent learnable log-std
+(`fixed_sigma: True`), value head. bfloat16-friendly: all matmuls hit the MXU
+when run on TPU; parameters stay float32 for optimizer stability.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ActorCritic(nn.Module):
+    num_actions: int
+    units: Sequence[int] = (512, 256, 128)
+    sigma_init: float = 0.0  # log-std init => sigma = 1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        x = obs.astype(self.compute_dtype)
+        for u in self.units:
+            x = nn.Dense(u, dtype=self.compute_dtype)(x)
+            x = nn.elu(x)
+        mu = nn.Dense(self.num_actions, dtype=self.compute_dtype)(x)
+        value = nn.Dense(1, dtype=self.compute_dtype)(x)
+        log_std = self.param(
+            "log_std",
+            lambda key, shape: jnp.full(shape, self.sigma_init, jnp.float32),
+            (self.num_actions,),
+        )
+        return (
+            mu.astype(jnp.float32),
+            jnp.broadcast_to(log_std, mu.shape),
+            value[..., 0].astype(jnp.float32),
+        )

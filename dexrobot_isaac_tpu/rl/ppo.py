@@ -1,0 +1,364 @@
+"""PPO learner: rollout + GAE + clipped-surrogate updates, fully on-device.
+
+TPU-native replacement for the external `rl_games` a2c_continuous trainer the
+reference delegates to (SURVEY §2.9; train.py:110-120 builds a Runner around
+it). Hyperparameter semantics follow cfg/train/BaseTaskPPO.yaml:33-72:
+
+- gamma 0.99 / GAE tau 0.95, horizon 16, minibatch = num_envs, mini_epochs 4
+- adaptive LR on KL with threshold 0.008 (rl_games schedule: kl > 2*thr =>
+  lr/1.5, kl < 0.5*thr => lr*1.5, clamped [1e-6, 1e-2])
+- e_clip 0.2 ratio clipping, clipped value loss, critic_coef 4, entropy 0,
+  bounds loss 1e-4 on mu outside [-1.1, 1.1], grad-norm clip 1.0
+- obs + value running-stat normalization, value bootstrap on timeouts
+
+One `train_iteration` = horizon-step rollout (lax.scan over the jitted env
+step) + GAE + mini_epochs x num_minibatches updates (lax.scan over shuffled
+minibatches) -- a single XLA program, so the whole PPO epoch runs without
+host round-trips. Scale-out: shard the env-state/obs batch along the mesh
+'data' axis and keep params replicated; jit then inserts psum gradient
+reductions automatically (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dexrobot_isaac_tpu.rl.networks import ActorCritic
+from dexrobot_isaac_tpu.rl.running_stats import RunningMeanStd
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_actions: int
+    num_obs: int
+    num_envs: int
+    horizon_length: int = 16
+    minibatch_size: Optional[int] = None   # None => num_envs (reference parity)
+    mini_epochs: int = 4
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"          # adaptive | fixed
+    kl_threshold: float = 0.008
+    e_clip: float = 0.2
+    grad_norm: float = 1.0
+    critic_coef: float = 4.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 1e-4
+    clip_value: bool = True
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = True
+    truncate_grads: bool = True
+    units: Tuple[int, ...] = (512, 256, 128)
+    reward_shaper_scale: float = 1.0
+
+    @property
+    def batch_size(self) -> int:
+        return self.horizon_length * self.num_envs
+
+    @property
+    def minibatch(self) -> int:
+        return self.minibatch_size or self.num_envs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PPOState:
+    """Learner state threaded through train iterations."""
+
+    params: Any
+    opt_state: Any
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    lr: jnp.ndarray            # scalar, adaptive
+    epoch: jnp.ndarray         # scalar int
+    rng: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray         # normalized-space value prediction
+    reward: jnp.ndarray        # shaped reward (+ bootstrap)
+    done: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+
+def _gaussian_log_prob(mu, log_std, action):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * ((action - mu) ** 2 / var + 2 * log_std + jnp.log(2 * jnp.pi)),
+        axis=-1,
+    )
+
+
+def _policy_kl(mu, sigma, mu_old, sigma_old):
+    """rl_games policy_kl: mean KL between diagonal Gaussians."""
+    c1 = jnp.log(sigma / sigma_old + 1e-5)
+    c2 = (sigma_old**2 + (mu_old - mu) ** 2) / (2.0 * sigma**2 + 1e-5)
+    return jnp.mean(jnp.sum(c1 + c2 - 0.5, axis=-1))
+
+
+class PPOLearner:
+    """Builds the jitted train_iteration around a functional env."""
+
+    def __init__(
+        self,
+        cfg: PPOConfig,
+        env_step: Callable,      # (env_state, actions) -> (env_state, obs, rew, done, extras)
+        seed: int = 42,
+    ):
+        self.cfg = cfg
+        self.env_step = env_step
+        self.network = ActorCritic(num_actions=cfg.num_actions, units=tuple(cfg.units))
+        self._seed = seed
+        # donate only the learner state: obs may alias a leaf of env_state at
+        # call sites, and donating both trips XLA's donated-buffer reuse check
+        self.train_iteration = jax.jit(self._train_iteration, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None) -> PPOState:
+        cfg = self.cfg
+        key = jax.random.key(self._seed) if key is None else key
+        key, init_key = jax.random.split(key)
+        params = self.network.init(
+            init_key, jnp.zeros((1, cfg.num_obs), dtype=jnp.float32)
+        )
+        self._tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.clip_by_global_norm(cfg.grad_norm)
+                if cfg.truncate_grads else optax.identity(),
+                optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+            )
+        )(learning_rate=cfg.learning_rate)
+        opt_state = self._tx.init(params)
+        return PPOState(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=RunningMeanStd.create((cfg.num_obs,)),
+            value_rms=RunningMeanStd.create(()),
+            lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+            epoch=jnp.asarray(0, jnp.int32),
+            rng=key,
+        )
+
+    # ------------------------------------------------------------------
+    def _forward(self, params, obs_rms, obs):
+        x = obs_rms.normalize(obs) if self.cfg.normalize_input else obs
+        return self.network.apply(params, x)
+
+    def act(self, state: PPOState, obs, key):
+        """Sample actions for rollout."""
+        mu, log_std, value = self._forward(state.params, state.obs_rms, obs)
+        sigma = jnp.exp(log_std)
+        noise = jax.random.normal(key, mu.shape)
+        action = mu + sigma * noise
+        log_prob = _gaussian_log_prob(mu, log_std, action)
+        return action, log_prob, value, mu, sigma
+
+    def act_deterministic(self, state: PPOState, obs):
+        """Greedy action for evaluation (rl_games player semantics)."""
+        mu, _, _ = self._forward(state.params, state.obs_rms, obs)
+        return jnp.clip(mu, -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _rollout(self, ppo: PPOState, env_state, obs, key):
+        cfg = self.cfg
+
+        def step(carry, _):
+            env_state, obs, key = carry
+            key, act_key = jax.random.split(key)
+            action, log_prob, value, mu, sigma = self.act(ppo, obs, act_key)
+            action_c = jnp.clip(action, -1.0, 1.0)
+            env_state, next_obs, reward, done, extras = self.env_step(
+                env_state, action_c
+            )
+            reward = reward * cfg.reward_shaper_scale
+            if cfg.value_bootstrap:
+                # rl_games: bootstrap value on timeout terminations
+                timeout = extras["timeout"].astype(jnp.float32)
+                v_denorm = (
+                    ppo.value_rms.denormalize(value)
+                    if cfg.normalize_value else value
+                )
+                reward = reward + cfg.gamma * v_denorm * timeout
+            t = Transition(obs, action, log_prob, value, reward, done, mu, sigma)
+            return (env_state, next_obs, key), (t, extras)
+
+        (env_state, obs, key), (traj, extras) = jax.lax.scan(
+            step, (env_state, obs, key), None, length=cfg.horizon_length
+        )
+        return env_state, obs, key, traj, extras
+
+    def _gae(self, ppo: PPOState, traj: Transition, last_value):
+        cfg = self.cfg
+        values = traj.value
+        if cfg.normalize_value:
+            values = ppo.value_rms.denormalize(values)
+            last_value = ppo.value_rms.denormalize(last_value)
+
+        def scan_fn(carry, t):
+            next_value, adv = carry
+            value, reward, done = t
+            not_done = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * next_value * not_done - value
+            adv = delta + cfg.gamma * cfg.tau * not_done * adv
+            return (value, adv), adv
+
+        _, advantages = jax.lax.scan(
+            scan_fn,
+            (last_value, jnp.zeros_like(last_value)),
+            (values, traj.reward, traj.done),
+            reverse=True,
+        )
+        returns = advantages + values
+        return advantages, returns
+
+    # ------------------------------------------------------------------
+    def _update_minibatch(self, carry, mb):
+        ppo_params, opt_state, lr, obs_rms, value_rms, kl_sum = carry
+        cfg = self.cfg
+        obs, action, old_log_prob, old_value_norm, advantage, return_norm, \
+            mu_old, sigma_old = mb
+
+        def loss_fn(params):
+            x = obs_rms.normalize(obs) if cfg.normalize_input else obs
+            mu, log_std, value = self.network.apply(params, x)
+            sigma = jnp.exp(log_std)
+            log_prob = _gaussian_log_prob(mu, log_std, action)
+            ratio = jnp.exp(log_prob - old_log_prob)
+            surr1 = advantage * ratio
+            surr2 = advantage * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
+            a_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+            if cfg.clip_value:
+                v_clipped = old_value_norm + jnp.clip(
+                    value - old_value_norm, -cfg.e_clip, cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    (value - return_norm) ** 2, (v_clipped - return_norm) ** 2
+                )
+            else:
+                v_loss = (value - return_norm) ** 2
+            c_loss = 0.5 * jnp.mean(v_loss)
+
+            entropy = jnp.mean(jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1))
+            mu_excess = jnp.clip(jnp.abs(mu) - 1.1, 0.0, None)
+            b_loss = jnp.mean(jnp.sum(mu_excess**2, axis=-1))
+
+            total = (
+                a_loss
+                + cfg.critic_coef * c_loss
+                - cfg.entropy_coef * entropy
+                + cfg.bounds_loss_coef * b_loss
+            )
+            return total, (mu, sigma)
+
+        grads, (mu, sigma) = jax.grad(loss_fn, has_aux=True)(ppo_params)
+        updates, opt_state = self._tx.update(
+            grads, _set_lr(opt_state, lr), ppo_params
+        )
+        ppo_params = optax.apply_updates(ppo_params, updates)
+        kl = _policy_kl(mu, sigma, mu_old, sigma_old)
+        return (ppo_params, opt_state, lr, obs_rms, value_rms, kl_sum + kl), kl
+
+    def _train_iteration(self, ppo: PPOState, env_state, obs):
+        """One PPO epoch: rollout + GAE + minibatch updates + adaptive LR."""
+        cfg = self.cfg
+        key, roll_key, perm_key = jax.random.split(ppo.rng, 3)
+
+        env_state, obs, _, traj, roll_extras = self._rollout(
+            ppo, env_state, obs, roll_key
+        )
+        _, _, last_value, _, _ = self.act(
+            ppo, obs, jax.random.key(0)
+        )
+        advantages, returns = self._gae(ppo, traj, last_value)
+
+        # update running stats from this rollout
+        obs_rms = (
+            ppo.obs_rms.update(traj.obs.reshape(-1, cfg.num_obs))
+            if cfg.normalize_input else ppo.obs_rms
+        )
+        value_rms = (
+            ppo.value_rms.update(returns.reshape(-1))
+            if cfg.normalize_value else ppo.value_rms
+        )
+        returns_norm = (
+            value_rms.normalize(returns, clip=np.inf)
+            if cfg.normalize_value else returns
+        )
+        old_values_norm = traj.value
+        if cfg.normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (
+                advantages.std() + 1e-8
+            )
+
+        # flatten (T, N, ...) -> (T*N, ...)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+        adv_flat = advantages.reshape(-1)
+        ret_flat = returns_norm.reshape(-1)
+        val_flat = old_values_norm.reshape(-1)
+
+        n_mb = cfg.batch_size // cfg.minibatch
+
+        def epoch_fn(carry, ekey):
+            params, opt_state, lr, kl_last = carry
+            perm = jax.random.permutation(ekey, cfg.batch_size)
+            mb_data = jax.tree.map(
+                lambda x: x[perm].reshape((n_mb, cfg.minibatch) + x.shape[1:]),
+                (flat.obs, flat.action, flat.log_prob, val_flat, adv_flat,
+                 ret_flat, flat.mu, flat.sigma),
+            )
+            (params, opt_state, lr, _, _, kl_sum), _ = jax.lax.scan(
+                self._update_minibatch,
+                (params, opt_state, lr, obs_rms, value_rms, jnp.asarray(0.0)),
+                mb_data,
+            )
+            return (params, opt_state, lr, kl_sum / n_mb), None
+
+        epoch_keys = jax.random.split(perm_key, cfg.mini_epochs)
+        (params, opt_state, lr, kl), _ = jax.lax.scan(
+            epoch_fn,
+            (ppo.params, ppo.opt_state, ppo.lr, jnp.asarray(0.0)),
+            epoch_keys,
+        )
+
+        if cfg.lr_schedule == "adaptive":
+            lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
+            lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
+            lr = jnp.clip(lr, 1e-6, 1e-2)
+
+        new_ppo = PPOState(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            value_rms=value_rms,
+            lr=lr,
+            epoch=ppo.epoch + 1,
+            rng=key,
+        )
+        metrics = {
+            "kl": kl,
+            "lr": lr,
+            "reward_mean": traj.reward.mean(),
+            "value_mean": traj.value.mean(),
+            "advantage_std": advantages.std(),
+            "episode_done_frac": traj.done.astype(jnp.float32).mean(),
+        }
+        return new_ppo, env_state, obs, metrics, roll_extras
+
+
+def _set_lr(opt_state, lr):
+    """Override the injected learning_rate hyperparameter."""
+    return optax.tree_utils.tree_set(opt_state, learning_rate=lr)

@@ -21,3 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+from dexrobot_isaac_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()

@@ -1,0 +1,149 @@
+"""End-to-end environment tests: shapes, determinism, episode lifecycle.
+
+Mirrors the reference's integration-harness checks
+(examples/dexhand_test.py:1159-1409): action-space sizing, obs dims, DOF
+response to actions, plus jit-native properties the reference cannot test
+(bitwise determinism of the whole step under fixed seed).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.factory import make_env
+from dexrobot_isaac_tpu.utils.config import load_config
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = load_config(["task=BaseTask", "numEnvs=2", "env.episodeLength=8"])
+    return make_env(cfg)
+
+
+class TestBaseTaskEnv:
+    def test_obs_dim_matches_key_sum(self, env):
+        # 6+6+12+12+7+5+18+6+12+4*35 = 224 (BaseTask policy keys)
+        assert env.num_obs == 224
+        assert env.num_actions == 18
+
+    def test_reset_shapes(self, env):
+        obs = env.reset()
+        assert obs.shape == (2, 224)
+        assert bool(jnp.isfinite(obs).all())
+
+    def test_step_api(self, env):
+        env.reset()
+        a = jnp.zeros((2, 18))
+        obs, rew, done, extras = env.step(a)
+        assert obs.shape == (2, 224)
+        assert rew.shape == (2,)
+        assert done.shape == (2,)
+        assert "reward_components" in extras
+        assert "episode_length" in extras
+        comps = extras["reward_components"]
+        # BaseTask weights activate these common terms
+        for k in ["alive", "joint_limit", "height_safety", "total"]:
+            assert k in comps
+
+    def test_action_moves_dofs(self, env):
+        env.reset()
+        a = jnp.zeros((2, 18)).at[:, 2].set(1.0)  # ARTz up (position_delta)
+        for _ in range(5):
+            env.step(a)
+        artz = float(env.state.physics.q[0, 2])
+        assert artz > 0.02, f"ARTz should rise under +z actions: {artz}"
+
+    def test_timeout_resets_episode(self, env):
+        env.reset()
+        a = jnp.zeros((2, 18))
+        saw_done = False
+        for i in range(10):
+            obs, rew, done, extras = env.step(a)
+            if bool(done.any()):
+                saw_done = True
+                break
+        assert saw_done, "episodeLength=8 must trigger timeout"
+        # next step: counters restarted
+        obs, rew, done, extras = env.step(a)
+        assert int(extras["episode_length"][0]) == 1
+
+    def test_determinism(self, env):
+        key = jax.random.key(123)
+        st1, obs1 = env._reset_jit(key)
+        st2, obs2 = env._reset_jit(key)
+        a = jnp.full((2, 18), 0.3)
+        s1, o1, r1, d1, _ = jax.jit(env.step_fn)(st1, a)
+        s2, o2, r2, d2, _ = jax.jit(env.step_fn)(st2, a)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_prev_actions_in_obs(self, env):
+        env.reset()
+        a = jnp.full((2, 18), 0.25)
+        obs, *_ = env.step(a)
+        # prev_actions slice: keys before it are 6+6+12+12+7+5 = 48
+        np.testing.assert_allclose(np.asarray(obs[:, 48:66]), 0.25, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def genv():
+    # stage-quality failures disabled so the FSM's timeout path is observable
+    # (with a no-op policy the 1->2 transition otherwise fails pregrasp
+    # quality and resets the episode the same step -- correct behavior, but
+    # it hides stages 2/3 from this test)
+    cfg = load_config([
+        "task=BlindGrasping", "numEnvs=2", "env.episodeLength=50",
+        "task.stage1_duration=0.12", "task.stage2_duration=0.2",
+        "task.termination.active_failure_criteria=[hitting_ground, box_too_far]",
+    ])
+    return make_env(cfg)
+
+
+class TestBlindGraspingEnv:
+    def test_obs_dim(self, genv):
+        # 6+12+6+12+5+5+7+18+35+35+3+1+10+1+1+1 = 158
+        assert genv.num_obs == 158
+
+    def test_box_reset_randomization(self, genv):
+        genv.reset()
+        box = np.asarray(genv.state.physics.box_pos)
+        assert np.all(np.abs(box[:, :2]) <= 0.02 + 1e-6)
+        np.testing.assert_allclose(box[:, 2], 0.027, atol=1e-6)
+
+    def test_hand_randomized(self, genv):
+        genv.reset()
+        q = np.asarray(genv.state.physics.q)
+        assert not np.allclose(q[0], q[1]), "per-env randomization must differ"
+        assert np.all(np.abs(q[:, 0:3]) <= 0.2 + 1e-5)
+        assert np.all(q[:, 6:26] >= -1e-6)
+
+    def test_stage_fsm_progresses(self, genv):
+        genv.reset()
+        a = jnp.zeros((2, 18))
+        stages = []
+        for _ in range(12):  # stage1_duration=0.12s = 3 steps at 0.04
+            obs, rew, done, extras = genv.step(a)
+            stages.append(int(genv.state.task_states["current_stage"][0]))
+        assert stages[0] == 1
+        assert 2 in stages or 3 in stages, f"FSM must leave stage 1: {stages}"
+        assert stages[-1] == 3, f"timeout path must reach stage 3: {stages}"
+
+    def test_task_reward_components(self, genv):
+        genv.reset()
+        a = jnp.zeros((2, 18))
+        _, _, _, extras = genv.step(a)
+        comps = extras["reward_components"]
+        for k in ["s1_height_alignment", "s1_centroid_positioning",
+                  "penetration_penalty", "total"]:
+            assert k in comps
+        # stage-1 active on fresh episodes
+        assert float(comps["s1_centroid_positioning"][0]) >= 0.0
+
+    def test_failure_criteria_reported(self, genv):
+        genv.reset()
+        a = jnp.zeros((2, 18))
+        _, _, _, extras = genv.step(a)
+        for k in ["failure_box_too_far", "failure_hitting_ground",
+                  "success_grasp_lift_success"]:
+            assert k in extras

@@ -1,0 +1,115 @@
+"""PPO learner mechanics: shapes, adaptive LR, learning on a toy problem.
+
+Uses a trivial analytic environment (no physics) so the learner's machinery
+is validated fast; the end-to-end env+PPO path is covered by the train CLI
+smoke test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.rl.ppo import PPOConfig, PPOLearner
+from dexrobot_isaac_tpu.rl.running_stats import RunningMeanStd
+
+NUM_ENVS = 16
+NUM_OBS = 4
+NUM_ACT = 2
+
+
+def toy_env_step(state, actions):
+    """Reward = -|obs - action[0:2] pattern|; obs random walk. The optimal
+    policy sets action ~ obs[:2], so reward improves if learning works."""
+    key, obs = state
+    key, sub = jax.random.split(key)
+    target = obs[:, :NUM_ACT]
+    reward = -jnp.sum((actions - target) ** 2, axis=-1)
+    new_obs = jax.random.normal(sub, obs.shape)
+    done = jnp.zeros(obs.shape[0], dtype=bool)
+    extras = {"timeout": jnp.zeros(obs.shape[0], dtype=bool)}
+    return (key, new_obs), new_obs, reward, done, extras
+
+
+@pytest.fixture(scope="module")
+def learner():
+    cfg = PPOConfig(
+        num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+        horizon_length=8, minibatch_size=32, mini_epochs=2,
+        units=(32, 32),
+    )
+    return PPOLearner(cfg, toy_env_step, seed=0)
+
+
+class TestPPO:
+    def test_init_state(self, learner):
+        st = learner.init_state()
+        assert float(st.lr) == pytest.approx(3e-4)
+        assert int(st.epoch) == 0
+
+    def test_train_iteration_shapes(self, learner):
+        st = learner.init_state()
+        key = jax.random.key(1)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        st2, env_state, obs, metrics, _ = learner.train_iteration(st, env_state, obs)
+        assert int(st2.epoch) == 1
+        assert np.isfinite(float(metrics["kl"]))
+        assert np.isfinite(float(metrics["reward_mean"]))
+
+    def test_learning_improves_reward(self, learner):
+        st = learner.init_state()
+        key = jax.random.key(2)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        rewards = []
+        for _ in range(60):
+            st, env_state, obs, metrics, _ = learner.train_iteration(
+                st, env_state, obs
+            )
+            rewards.append(float(metrics["reward_mean"]))
+        early = np.mean(rewards[:5])
+        late = np.mean(rewards[-5:])
+        assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+
+    def test_adaptive_lr_moves(self, learner):
+        st = learner.init_state()
+        key = jax.random.key(3)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        lrs = set()
+        for _ in range(10):
+            st, env_state, obs, metrics, _ = learner.train_iteration(
+                st, env_state, obs
+            )
+            lrs.add(round(float(st.lr), 8))
+        assert len(lrs) > 1, "adaptive LR should adjust within 10 epochs"
+
+    def test_deterministic_eval_action(self, learner):
+        st = learner.init_state()
+        obs = jnp.ones((NUM_ENVS, NUM_OBS))
+        a1 = learner.act_deterministic(st, obs)
+        a2 = learner.act_deterministic(st, obs)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert np.all(np.abs(np.asarray(a1)) <= 1.0)
+
+
+class TestRunningMeanStd:
+    def test_tracks_moments(self):
+        rms = RunningMeanStd.create((3,))
+        rng = np.random.default_rng(0)
+        data = rng.normal(loc=2.0, scale=3.0, size=(1000, 3)).astype(np.float32)
+        for i in range(10):
+            rms = rms.update(jnp.asarray(data[i * 100:(i + 1) * 100]))
+        np.testing.assert_allclose(np.asarray(rms.mean), data.mean(0), atol=0.05)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(rms.var)), data.std(0), atol=0.1
+        )
+
+    def test_normalize_roundtrip(self):
+        rms = RunningMeanStd.create(())
+        rms = rms.update(jnp.arange(100, dtype=jnp.float32))
+        x = jnp.asarray(42.0)
+        np.testing.assert_allclose(
+            float(rms.denormalize(rms.normalize(x))), 42.0, rtol=1e-4
+        )

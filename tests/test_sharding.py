@@ -1,0 +1,58 @@
+"""Multi-chip sharding validation on the virtual 8-device CPU mesh.
+
+The test strategy the reference lacks (SURVEY §4 "Multi-node testing: N/A"):
+envs sharded along the `data` mesh axis, PPO learner replicated, the full
+training step compiled + executed under GSPMD with automatic gradient psum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_pytree,
+    shard_batch_pytree,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+class TestMeshPrimitives:
+    def test_shard_batch_pytree_places_on_all_devices(self, mesh):
+        x = {"a": jnp.zeros((16, 4)), "scalar": jnp.asarray(1.0)}
+        sharded = shard_batch_pytree(x, mesh)
+        assert len(sharded["a"].sharding.device_set) == 8
+        # scalar replicated
+        assert sharded["scalar"].sharding.is_fully_replicated
+
+    def test_sharded_mean_matches_global(self, mesh):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(32, 8)), dtype=jnp.float32)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        m = jax.jit(lambda v: v.mean(axis=0))(xs)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(x).mean(0), atol=1e-6)
+
+
+class TestShardedTrainingStep:
+    def test_dryrun_multichip(self):
+        """The driver's multi-chip validation path must work end-to-end."""
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, (state, actions) = ge.entry()
+        jitted = jax.jit(fn)
+        obs, rew, done = jitted(state, actions)
+        jax.block_until_ready(obs)
+        assert obs.shape[0] == actions.shape[0]
+        assert bool(jnp.isfinite(obs).all())

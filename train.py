@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""CLI entry point: train or evaluate PPO policies on DexHand TPU envs.
+
+Parity with the reference's `train.py` (train.py:123-421): `python train.py
+key=value ...` with alias expansion, experiment directory + config/git
+snapshot, seeding, TensorBoard + reward-breakdown logging, checkpoint
+save/resume with `latest` resolution, test mode with finite/indefinite game
+counts and checkpoint hot-reload. The rl_games Runner is replaced by the
+in-repo jitted PPO learner (dexrobot_isaac_tpu/rl/ppo.py).
+
+Examples:
+    python train.py task=BaseTask numEnvs=1024 maxIterations=1000
+    python train.py task=BlindGrasping numEnvs=4096
+    python train.py test=true checkpoint=latest task=BlindGrasping
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    from dexrobot_isaac_tpu.utils.config import get_by_path, load_config
+
+    cfg = load_config(argv)
+
+    # device selection must happen before jax initializes a backend
+    device = str(cfg.get("device", "tpu")).lower()
+    if device.startswith("cpu"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if device.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from dexrobot_isaac_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from dexrobot_isaac_tpu.factory import make_env
+    from dexrobot_isaac_tpu.rl.checkpoint import (
+        HotReloadMonitor,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from dexrobot_isaac_tpu.rl.observer import RewardComponentObserver
+    from dexrobot_isaac_tpu.rl.ppo import PPOConfig, PPOLearner
+    from dexrobot_isaac_tpu.utils.experiment import (
+        ExperimentManager,
+        resolve_checkpoint,
+    )
+    from dexrobot_isaac_tpu.utils.logging import setup_logging
+
+    test_mode = bool(get_by_path(cfg, "train.test", False))
+    mode = "test" if test_mode else "train"
+    task_name = get_by_path(cfg, "task.name", "BaseTask")
+
+    exp = ExperimentManager(
+        base_dir=os.environ.get("DEXHAND_RUNS_DIR", "."),
+        max_train_runs=int(get_by_path(cfg, "train.experiment.maxTrainRuns", 10)),
+        max_test_runs=int(get_by_path(cfg, "train.experiment.maxTestRuns", 10)),
+    )
+    run_dir = exp.create_run(
+        task_name, mode,
+        experiment_name=get_by_path(cfg, "train.logging.experimentName"),
+        cfg=cfg,
+    )
+    log_file = (
+        None if get_by_path(cfg, "train.logging.noLogFile", False)
+        else os.path.join(run_dir, f"{mode}.log")
+    )
+    logger = setup_logging(get_by_path(cfg, "train.logging.logLevel", "info"), log_file)
+    logger.info(f"Run directory: {run_dir}")
+    logger.info(f"Task: {task_name} | mode: {mode} | devices: {jax.devices()}")
+
+    seed = int(get_by_path(cfg, "train.seed", 42))
+    np.random.seed(seed)
+
+    env = make_env(cfg, seed=seed)
+    logger.info(
+        f"Env: {env.num_envs} envs, obs {env.num_obs}, actions "
+        f"{env.num_actions}, control_dt {env.control_dt:.3f}s"
+    )
+
+    tp = get_by_path(cfg, "train.params.config", {}) or {}
+    ppo_cfg = PPOConfig(
+        num_actions=env.num_actions,
+        num_obs=env.num_obs,
+        num_envs=env.num_envs,
+        horizon_length=int(tp.get("horizon_length", 16)),
+        minibatch_size=tp.get("minibatch_size"),
+        mini_epochs=int(tp.get("mini_epochs", 4)),
+        gamma=float(tp.get("gamma", 0.99)),
+        tau=float(tp.get("tau", 0.95)),
+        learning_rate=float(tp.get("learning_rate", 3e-4)),
+        lr_schedule=str(tp.get("lr_schedule", "adaptive")),
+        kl_threshold=float(tp.get("kl_threshold", 0.008)),
+        e_clip=float(tp.get("e_clip", 0.2)),
+        grad_norm=float(tp.get("grad_norm", 1.0)),
+        critic_coef=float(tp.get("critic_coef", 4.0)),
+        entropy_coef=float(tp.get("entropy_coef", 0.0)),
+        bounds_loss_coef=float(tp.get("bounds_loss_coef", 1e-4)),
+        clip_value=bool(tp.get("clip_value", True)),
+        normalize_input=bool(tp.get("normalize_input", True)),
+        normalize_value=bool(tp.get("normalize_value", True)),
+        normalize_advantage=bool(tp.get("normalize_advantage", True)),
+        value_bootstrap=bool(tp.get("value_bootstrap", True)),
+        units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
+        reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
+    )
+    learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed)
+    ppo = learner.init_state()
+
+    ckpt_spec = get_by_path(cfg, "train.checkpoint")
+    if ckpt_spec:
+        path = resolve_checkpoint(str(ckpt_spec))
+        logger.info(f"Loading checkpoint: {path}")
+        ppo = load_checkpoint(path, ppo)
+
+    if test_mode:
+        return run_test(cfg, env, learner, ppo, run_dir, logger)
+    return run_train(cfg, env, learner, ppo, run_dir, logger)
+
+
+def run_train(cfg, env, learner, ppo, run_dir, logger) -> int:
+    import jax
+    import numpy as np
+
+    from dexrobot_isaac_tpu.rl.checkpoint import save_checkpoint
+    from dexrobot_isaac_tpu.rl.observer import RewardComponentObserver
+    from dexrobot_isaac_tpu.utils.config import get_by_path
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(run_dir, "tb"))
+    except Exception:
+        writer = None
+    observer = RewardComponentObserver(
+        writer, int(get_by_path(cfg, "train.logging.rewardLogInterval", 100))
+    )
+
+    max_iters = int(get_by_path(cfg, "train.maxIterations", 10000))
+    save_freq = int(get_by_path(cfg, "train.params.config.save_frequency", 100))
+    log_interval = max(1, int(get_by_path(cfg, "train.params.config.log_interval", 1)))
+    task_name = get_by_path(cfg, "task.name", "BaseTask")
+    nn_dir = os.path.join(run_dir, "nn")
+
+    env_state, obs = env._reset_jit(jax.random.key(env._seed))
+    best_reward = -np.inf
+    t_start = time.time()
+    steps_per_iter = learner.cfg.horizon_length * env.num_envs
+
+    for it in range(1, max_iters + 1):
+        ppo, env_state, obs, metrics, roll_extras = learner.train_iteration(
+            ppo, env_state, obs
+        )
+        if it % log_interval == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            elapsed = time.time() - t_start
+            sps = it * steps_per_iter / elapsed
+            logger.info(
+                f"iter {it}/{max_iters} reward {m['reward_mean']:+.3f} "
+                f"kl {m['kl']:.4f} lr {m['lr']:.2e} | {sps:,.0f} env-steps/s"
+            )
+            if writer:
+                step = it * steps_per_iter
+                for k, v in m.items():
+                    writer.add_scalar(f"training/{k}", v, step)
+                writer.add_scalar("performance/env_steps_per_s", sps, step)
+            observer.process_rollout(jax.device_get(roll_extras))
+
+            if m["reward_mean"] > best_reward and it >= int(
+                get_by_path(cfg, "train.params.config.save_best_after", 1)
+            ):
+                best_reward = m["reward_mean"]
+                save_checkpoint(
+                    os.path.join(nn_dir, f"{task_name}_best.ckpt"), ppo,
+                    {"iteration": it, "reward": best_reward},
+                )
+        if it % save_freq == 0 or it == max_iters:
+            path = os.path.join(nn_dir, f"{task_name}_ep{it}.ckpt")
+            save_checkpoint(path, ppo, {"iteration": it})
+            save_checkpoint(os.path.join(nn_dir, "latest.ckpt"), ppo,
+                            {"iteration": it})
+            logger.info(f"Saved checkpoint: {path}")
+    if writer:
+        writer.close()
+    logger.info("Training complete")
+    return 0
+
+
+def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
+    """Policy evaluation (reference test mode, train.py:341-407): run the
+    deterministic player for testGamesNum episodes (0 = indefinite) with
+    checkpoint hot-reload."""
+    import jax
+    import numpy as np
+
+    from dexrobot_isaac_tpu.rl.checkpoint import HotReloadMonitor, load_checkpoint
+    from dexrobot_isaac_tpu.utils.config import get_by_path
+    from dexrobot_isaac_tpu.utils.experiment import resolve_checkpoint
+
+    games_target = int(get_by_path(cfg, "train.testGamesNum", 100))
+    reload_interval = float(get_by_path(cfg, "train.reloadInterval", 30))
+
+    ppo_box = {"state": ppo}
+    ckpt_spec = get_by_path(cfg, "train.checkpoint")
+    monitor = None
+    if ckpt_spec:
+        path = resolve_checkpoint(str(ckpt_spec))
+
+        def on_reload(p):
+            ppo_box["state"] = load_checkpoint(p, ppo_box["state"])
+            logger.info(f"Reloaded weights from {p}")
+
+        monitor = HotReloadMonitor(path, on_reload, reload_interval)
+        monitor.start()
+
+    step_jit = jax.jit(env.step_fn)
+    act_jit = jax.jit(learner.act_deterministic)
+    env_state, obs = env._reset_jit(jax.random.key(env._seed))
+
+    games = 0
+    returns = []
+    ep_ret = np.zeros(env.num_envs)
+    succ = fail = tout = 0
+    try:
+        while games_target == 0 or games < games_target:
+            actions = act_jit(ppo_box["state"], obs)
+            env_state, obs, rew, done, extras = step_jit(env_state, actions)
+            rew_h = np.asarray(rew)
+            done_h = np.asarray(done)
+            ep_ret += rew_h
+            if done_h.any():
+                idx = np.nonzero(done_h)[0]
+                returns.extend(ep_ret[idx].tolist())
+                ep_ret[idx] = 0.0
+                games += len(idx)
+                succ += int(np.asarray(extras["success"])[idx].sum())
+                fail += int(np.asarray(extras["failure"])[idx].sum())
+                tout += int(np.asarray(extras["timeout"])[idx].sum())
+                logger.info(
+                    f"games {games}/{games_target or 'inf'} "
+                    f"avg return {np.mean(returns):.2f} "
+                    f"success {succ} failure {fail} timeout {tout}"
+                )
+    except KeyboardInterrupt:
+        logger.info("Interrupted")
+    finally:
+        if monitor:
+            monitor.stop()
+    if returns:
+        logger.info(
+            f"Evaluation: {len(returns)} episodes, avg return "
+            f"{np.mean(returns):.3f}, success rate "
+            f"{succ / max(1, len(returns)):.3f}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
