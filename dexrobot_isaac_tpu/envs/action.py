@@ -225,6 +225,18 @@ def extract_active_targets(pl: ActionPipeline, full_dof: jnp.ndarray) -> jnp.nda
     return full_dof[..., idx]
 
 
+def unscale_actions(pl: ActionPipeline, active_targets: jnp.ndarray) -> jnp.ndarray:
+    """Map active targets back into [-1, 1] action space (inverse of
+    scale_to_limits; reference action_processor.py:721-756)."""
+    rng = pl.active_upper - pl.active_lower
+    safe = jnp.where(rng > 0, rng, 1.0)
+    return jnp.where(
+        rng > 0,
+        (active_targets - pl.active_lower) / safe * 2.0 - 1.0,
+        0.0,
+    )
+
+
 def process_actions(
     pl: ActionPipeline,
     actions: jnp.ndarray,           # (N, num_actions)

@@ -52,7 +52,7 @@ from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 from dexrobot_isaac_tpu.envs.types import EnvState
 from dexrobot_isaac_tpu.models.dexhand021 import HandModel, build_hand_model
 from dexrobot_isaac_tpu.physics.engine import HandPhysics, StepInfo
-from dexrobot_isaac_tpu.physics.types import PhysicsState, SimParams
+from dexrobot_isaac_tpu.physics.types import DRSample, PhysicsState, SimParams
 
 
 @dataclasses.dataclass
@@ -73,6 +73,7 @@ class EnvComponents:
     default_dof_pos: np.ndarray     # (26,)
     clip_observations: float
     clip_actions: float
+    dr_ranges: Optional[Dict[str, Any]] = None   # None => DR disabled
     num_obs: int = -1               # filled after first trace
 
     @property
@@ -163,7 +164,7 @@ class DexHandEnv:
     def step_fn(self, state: EnvState, actions: jnp.ndarray):
         c = self.comps
         n = c.num_envs
-        key, reset_key = jax.random.split(state.rng)
+        key, reset_key, dr_key = jax.random.split(state.rng, 3)
 
         # --- pre-physics: action pipeline (SURVEY §2.3) ---
         if np.isfinite(c.clip_actions):
@@ -173,11 +174,11 @@ class DexHandEnv:
         )
 
         # --- physics: N lockstep steps (scanned to keep the HLO small) ---
-        step_batch = jax.vmap(c.engine.step_single, in_axes=(0, 0, 0))
+        step_batch = jax.vmap(c.engine.step_single, in_axes=(0, 0, 0, 0))
 
         def phys_body(carry, _):
             ph, _info = carry
-            ph, inf = step_batch(ph, full_targets, self._spawn)
+            ph, inf = step_batch(ph, full_targets, self._spawn, state.dr)
             return (ph, inf), None
 
         zero_info = StepInfo(
@@ -274,6 +275,14 @@ class DexHandEnv:
             box_angvel=jnp.where(m1, 0.0, phys.box_angvel),
         )
 
+        if c.dr_ranges:
+            dr_new = DRSample.sample(dr_key, n, c.dr_ranges)
+            new_dr = jax.tree.map(
+                lambda new, cur: jnp.where(done, new, cur), dr_new, state.dr
+            )
+        else:
+            new_dr = state.dr
+
         task_states = dict(tstep.task_states)
         if reset_vals.task_states:
             for k, v in reset_vals.task_states.items():
@@ -305,6 +314,7 @@ class DexHandEnv:
             },
             consecutive_successes=consecutive,
             task_states=task_states,
+            dr=new_dr,
             rng=key,
         )
 
@@ -321,7 +331,7 @@ class DexHandEnv:
         (dexhand_base.py:805-838)."""
         c = self.comps
         n = c.num_envs
-        key, task_key = jax.random.split(key)
+        key, task_key, dr_key = jax.random.split(key, 3)
         reset_vals = c.task.reset_task(task_key, n, self._default_dof)
 
         phys = PhysicsState(
@@ -339,7 +349,7 @@ class DexHandEnv:
             box_angvel=jnp.zeros((n, 3), dtype=jnp.float32),
         )
         kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
-        n_contact = len(np.asarray(c.obs_cfg.contact_body_indices))
+        n_contact = c.obs_cfg.num_contact_bodies
         reset_active = action_mod.extract_active_targets(
             c.pipeline, reset_vals.dof_pos
         )
@@ -398,6 +408,10 @@ class DexHandEnv:
             },
             consecutive_successes=jnp.zeros((), dtype=jnp.int32),
             task_states=tstep.task_states,
+            dr=(
+                DRSample.sample(dr_key, n, c.dr_ranges)
+                if c.dr_ranges else DRSample.nominal(n)
+            ),
             rng=key,
         )
         return state, obs_buf

@@ -52,6 +52,7 @@ class ObsConfig:
     contact_body_indices: jnp.ndarray   # (n,) hand body indices monitored
     contact_binary_threshold: float
     control_dt: float
+    num_contact_bodies: int
     hand_body_index: int                # palm / right_hand_base
     fingertip_site_indices: jnp.ndarray  # (5,)
     fingerpad_site_indices: jnp.ndarray  # (5,)
@@ -75,6 +76,7 @@ def build_obs_config(
         contact_body_indices=jnp.asarray(
             [model.body_index(b) for b in contact_force_bodies]
         ),
+        num_contact_bodies=len(list(contact_force_bodies)),
         contact_binary_threshold=float(contact_binary_threshold),
         control_dt=float(control_dt),
         hand_body_index=model.body_index("right_hand_base"),

@@ -15,7 +15,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from dexrobot_isaac_tpu.physics.types import PhysicsState
+from dexrobot_isaac_tpu.physics.types import DRSample, PhysicsState
 
 
 @jax.tree_util.register_dataclass
@@ -45,6 +45,8 @@ class EnvState:
     consecutive_successes: jnp.ndarray  # () int32
     # task plugin state registry (observation_encoder.py:385-440)
     task_states: Dict[str, jnp.ndarray]
+    # per-env domain-randomization scales, resampled on reset when enabled
+    dr: DRSample
     rng: jax.Array
 
     @property

@@ -26,6 +26,18 @@ from dexrobot_isaac_tpu.physics.engine import HandPhysics
 from dexrobot_isaac_tpu.physics.types import SimParams
 from dexrobot_isaac_tpu.utils.config import get_by_path
 
+def _parse_dr(dr_cfg) -> Dict[str, Any] | None:
+    """task.domain_randomization: {enabled: bool, <field>: [lo, hi], ...}"""
+    if not dr_cfg or not dr_cfg.get("enabled", False):
+        return None
+    out = {}
+    for k in ("kp_scale", "kd_scale", "box_mass_scale", "friction_scale"):
+        if k in dr_cfg:
+            lo, hi = dr_cfg[k]
+            out[k] = (float(lo), float(hi))
+    return out
+
+
 TASK_REGISTRY: Dict[str, Type[DexTask]] = {
     "BaseTask": BaseTask,
     "BlindGrasping": BlindGraspingTask,
@@ -145,6 +157,7 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         default_dof_pos=np.zeros(NUM_DOFS, dtype=np.float32),
         clip_observations=float(env_cfg.get("clipObservations", np.inf)),
         clip_actions=float(env_cfg.get("clipActions", np.inf)),
+        dr_ranges=_parse_dr(task_cfg.get("domain_randomization")),
     )
     if seed is None:
         seed = int(get_by_path(cfg, "train.seed", 42))

@@ -45,7 +45,13 @@ from dexrobot_isaac_tpu.models.dexhand021 import (
     build_hand_model,
 )
 from dexrobot_isaac_tpu.ops import quat as qm
-from dexrobot_isaac_tpu.physics.types import KinematicsOut, PhysicsState, SimParams
+from dexrobot_isaac_tpu.ops.linalg import spd_solve_one
+from dexrobot_isaac_tpu.physics.types import (
+    DRSample,
+    KinematicsOut,
+    PhysicsState,
+    SimParams,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -249,7 +255,7 @@ class HandPhysics:
         ft = -vt / (vt_norm[..., None] + 1e-6) * ft_mag[..., None]
         return fn_mag[..., None] * normal + ft
 
-    def _contacts(self, kin: KinematicsOut, state: PhysicsState):
+    def _contacts(self, kin: KinematicsOut, state: PhysicsState, dr: DRSample):
         """All contact forces for one world.
 
         Returns (sphere_force (S,3), sphere_point (S,3),
@@ -264,7 +270,7 @@ class HandPhysics:
         r = self._sphere_radius
 
         # --- hand spheres vs ground plane (z = 0) ---
-        mu_hg = 0.5 * (p.hand_friction + p.ground_friction)
+        mu_hg = 0.5 * (p.hand_friction + p.ground_friction) * dr.friction_scale
         depth = r - sp[:, 2]
         n_up = jnp.zeros_like(sp).at[:, 2].set(1.0)
         f_plane = self._penalty_force(depth, n_up, sv, mu_hg, self._sphere_meff)
@@ -304,13 +310,15 @@ class HandPhysics:
                 state.box_angvel, p_c - state.box_pos
             )
             rel = sv - v_boxpt
-            mu_hb = 0.5 * (p.hand_friction + p.box_friction)
+            mu_hb = 0.5 * (p.hand_friction + p.box_friction) * dr.friction_scale
             # contact effective mass including the box's rotational response
             # (the sequential-impulse "normal mass"); without the |r x n|^2/I
             # term a light box picks up unbounded spin from offset impacts
             r_c = p_c - state.box_pos
-            ang_term = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / self._box_inertia
-            m_red = 1.0 / (1.0 / self._sphere_meff + 1.0 / p.box_mass + ang_term)
+            box_mass = p.box_mass * dr.box_mass_scale
+            box_inertia = self._box_inertia * dr.box_mass_scale
+            ang_term = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
+            m_red = 1.0 / (1.0 / self._sphere_meff + 1.0 / box_mass + ang_term)
             f_box = self._penalty_force(depth_b, n_world, rel, mu_hb, m_red)
             sphere_force = sphere_force + f_box
             react = -f_box
@@ -329,12 +337,12 @@ class HandPhysics:
             vc = state.box_linvel + jnp.cross(
                 state.box_angvel, corners_w - state.box_pos
             )
-            mu_bg = 0.5 * (p.box_friction + p.ground_friction)
+            mu_bg = 0.5 * (p.box_friction + p.ground_friction) * dr.friction_scale
             n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
             r_c8 = corners_w - state.box_pos
-            ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / self._box_inertia
+            ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / box_inertia if p.has_box else 0.0
             # linear part /4: a resting box loads ~4 corners simultaneously
-            m_corner = 1.0 / (4.0 / p.box_mass + ang8)
+            m_corner = 1.0 / (4.0 / box_mass + ang8)
             f_c = self._penalty_force(-corners_w[:, 2], n_up8, vc, mu_bg, m_corner)
             box_plane_force = jnp.sum(f_c, axis=0)
             box_force = box_force + box_plane_force
@@ -347,13 +355,13 @@ class HandPhysics:
     # ------------------------------------------------------------------
     # substep / step
     # ------------------------------------------------------------------
-    def _substep(self, state: PhysicsState, dof_targets, spawn_pos):
+    def _substep(self, state: PhysicsState, dof_targets, spawn_pos, dr: DRSample):
         p = self.params
         hdt = self.substep_dt
         kin = self.fk(state.q, state.qd, spawn_pos)
         S = self._motion_subspace(kin)
 
-        sphere_force, sphere_pt, box_f, box_t = self._contacts(kin, state)
+        sphere_force, sphere_pt, box_f, box_t = self._contacts(kin, state, dr)
 
         # spatial forces about world origin, accumulated per hand body
         n_contact = jnp.cross(sphere_pt, sphere_force)            # (S,3)
@@ -373,10 +381,12 @@ class HandPhysics:
         subtree_w = self._anc_body @ body_w                        # (B,6)
         Q = jnp.sum(S * subtree_w, axis=-1)                        # (26,)
 
+        kp = self._kp * dr.kp_scale
+        kd = self._kd * dr.kd_scale
         M = self.mass_matrix(kin, S) + jnp.diag(self._armature)
-        A = M + jnp.diag(hdt * self._kd + hdt * hdt * self._kp)
-        rhs = M @ state.qd + hdt * (self._kp * (dof_targets - state.q) + Q)
-        qd_new = jax.scipy.linalg.solve(A, rhs, assume_a="pos")
+        A = M + jnp.diag(hdt * kd + hdt * hdt * kp)
+        rhs = M @ state.qd + hdt * (kp * (dof_targets - state.q) + Q)
+        qd_new = spd_solve_one(A, rhs)
         q_new = state.q + hdt * qd_new
 
         # hard joint limits: project + zero outward velocity
@@ -387,9 +397,10 @@ class HandPhysics:
         qd_new = jnp.where(high_hit & (qd_new > 0), 0.0, qd_new)
 
         if p.has_box:
-            inv_i = 1.0 / self._box_inertia
+            box_mass = p.box_mass * dr.box_mass_scale
+            inv_i = 1.0 / (self._box_inertia * dr.box_mass_scale)
             lin = state.box_linvel + hdt * (
-                box_f / p.box_mass + jnp.array([0.0, 0.0, p.gravity], dtype=box_f.dtype)
+                box_f / box_mass + jnp.array([0.0, 0.0, p.gravity], dtype=box_f.dtype)
             )
             ang = state.box_angvel + hdt * inv_i * box_t  # isotropic cube inertia
             # PhysX-style velocity caps (PhysX defaults maxAngularVelocity ~64)
@@ -409,7 +420,11 @@ class HandPhysics:
         return new_state, StepInfo(body_contact_force=body_cf, box_contact_force=box_f)
 
     def step_single(
-        self, state: PhysicsState, dof_targets: jnp.ndarray, spawn_pos: jnp.ndarray
+        self,
+        state: PhysicsState,
+        dof_targets: jnp.ndarray,
+        spawn_pos: jnp.ndarray,
+        dr: DRSample | None = None,
     ) -> Tuple[PhysicsState, StepInfo]:
         """One physics step (= `substeps` integrator substeps) for one world.
 
@@ -418,9 +433,13 @@ class HandPhysics:
         PhysX's CC_LAST_SUBSTEP contact collection (cfg/config.yaml:36).
         """
 
+        if dr is None:
+            one = jnp.ones((), dtype=state.q.dtype)
+            dr = DRSample(one, one, one, one)
+
         def body(carry, _):
             s, _info = carry
-            s, info = self._substep(s, dof_targets, spawn_pos)
+            s, info = self._substep(s, dof_targets, spawn_pos, dr)
             return (s, info), None
 
         zero_info = StepInfo(
@@ -433,9 +452,17 @@ class HandPhysics:
         return state, info
 
     @partial(jax.jit, static_argnums=0)
-    def step(self, state: PhysicsState, dof_targets: jnp.ndarray, spawn_pos: jnp.ndarray):
+    def step(
+        self,
+        state: PhysicsState,
+        dof_targets: jnp.ndarray,
+        spawn_pos: jnp.ndarray,
+        dr: DRSample | None = None,
+    ):
         """Batched physics step. All args have leading num_envs dim."""
-        return jax.vmap(self.step_single)(state, dof_targets, spawn_pos)
+        if dr is None:
+            dr = DRSample.nominal(state.q.shape[0])
+        return jax.vmap(self.step_single)(state, dof_targets, spawn_pos, dr)
 
     @partial(jax.jit, static_argnums=0)
     def kinematics(self, state: PhysicsState, spawn_pos: jnp.ndarray) -> KinematicsOut:

@@ -48,6 +48,42 @@ class KinematicsOut:
     site_quat: jnp.ndarray    # (N, S, 4)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DRSample:
+    """Per-env domain-randomization scales (leading dim = num_envs when
+    batched; scalars per world inside vmap). All multiplicative on the static
+    model/scene values; 1.0 = nominal. The reference has no DR -- this is the
+    scale-out training feature from BASELINE.json config #5."""
+
+    kp_scale: jnp.ndarray
+    kd_scale: jnp.ndarray
+    box_mass_scale: jnp.ndarray
+    friction_scale: jnp.ndarray
+
+    @staticmethod
+    def nominal(num_envs: int) -> "DRSample":
+        one = jnp.ones((num_envs,), dtype=jnp.float32)
+        return DRSample(one, one, one, one)
+
+    @staticmethod
+    def sample(key, num_envs: int, ranges: dict) -> "DRSample":
+        """Uniform log-space-free sampling in [lo, hi] per field; fields not
+        present in `ranges` stay at 1.0."""
+        import jax as _jax
+
+        keys = _jax.random.split(key, 4)
+        out = {}
+        for i, name in enumerate(
+            ["kp_scale", "kd_scale", "box_mass_scale", "friction_scale"]
+        ):
+            lo, hi = ranges.get(name, (1.0, 1.0))
+            out[name] = _jax.random.uniform(
+                keys[i], (num_envs,), minval=lo, maxval=hi
+            )
+        return DRSample(**out)
+
+
 @dataclasses.dataclass(frozen=True)
 class SimParams:
     """Static simulation parameters (analog of the reference's `sim` config

@@ -1,0 +1,89 @@
+"""Graphics sidecar tests: renderer frames, mp4 recording, MJPEG streaming."""
+
+import os
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.graphics.renderer import SceneRenderer
+from dexrobot_isaac_tpu.graphics.streamer import HTTPVideoStreamer
+from dexrobot_isaac_tpu.graphics.video import VideoRecorder
+from dexrobot_isaac_tpu.models.dexhand021 import build_hand_model
+from dexrobot_isaac_tpu.physics.engine import HandPhysics
+from dexrobot_isaac_tpu.physics.types import make_initial_physics_state
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def frame():
+    model = build_hand_model()
+    phys = HandPhysics(model=model)
+    state = make_initial_physics_state(1)
+    spawn = jnp.array([[0.0, 0.0, 0.3]], dtype=jnp.float32)
+    kin = phys.kinematics(state, spawn)
+    r = SceneRenderer(model, resolution=(320, 240))
+    f = r.render_state(
+        np.asarray(kin.body_pos[0]), np.asarray(kin.body_quat[0]),
+        box_pos=np.array([0.1, 0.0, 0.025]),
+        box_quat=np.array([0.0, 0.0, 0.0, 1.0]),
+        title="test",
+    )
+    r.close()
+    return f
+
+
+class TestRenderer:
+    def test_frame_shape_and_content(self, frame):
+        assert frame.shape == (240, 320, 3)
+        assert frame.dtype == np.uint8
+        # scene is drawn: not a blank canvas
+        assert frame.std() > 5.0
+
+
+class TestVideoRecorder:
+    def test_writes_mp4(self, frame, tmp_path):
+        rec = VideoRecorder(str(tmp_path), max_duration_seconds=10)
+        rec.finalize_fps(0.04)
+        assert rec.fps == pytest.approx(25.0)
+        rec.start_episode()
+        for _ in range(5):
+            rec.add_frame(frame)
+        rec.stop_episode()
+        rec.close()
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".mp4")]
+        assert len(files) == 1
+        assert os.path.getsize(tmp_path / files[0]) > 1000
+
+
+class TestStreamer:
+    def test_serves_pages_and_stats(self, frame):
+        s = HTTPVideoStreamer(port=18099)
+        s.start()
+        try:
+            s.add_frame(frame)
+            base = f"http://127.0.0.1:{s.port}"
+            body = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"DexHand" in body
+            stats = urllib.request.urlopen(base + "/stats", timeout=5).read()
+            assert b"frames_received" in stats
+            # stream: read the first multipart chunk
+            req = urllib.request.urlopen(base + "/stream", timeout=5)
+            s.add_frame(frame)
+            chunk = req.read(2000)
+            assert b"--frame" in chunk and b"image/jpeg" in chunk
+        finally:
+            s.stop()
+
+    def test_port_auto_increment(self, frame):
+        s1 = HTTPVideoStreamer(port=18123)
+        s1.start()
+        s2 = HTTPVideoStreamer(port=18123)
+        s2.start()
+        try:
+            assert s2.port == s1.port + 1
+        finally:
+            s1.stop()
+            s2.stop()
