@@ -59,6 +59,9 @@ def main() -> int:
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
 
+    if not bool(jnp.isfinite(obs).all() & jnp.isfinite(rew).all()):
+        raise RuntimeError("benchmark produced non-finite observations/rewards")
+
     env_steps_per_s = num_envs * steps / dt
     baseline = 245760.0  # 4096 envs x 60 FPS, docs/DESIGN_DECISIONS.md:166
     print(json.dumps({

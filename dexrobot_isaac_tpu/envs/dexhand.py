@@ -87,14 +87,19 @@ class DexHandEnv:
 
     def __init__(self, comps: EnvComponents, seed: int = 42):
         self.comps = comps
+        # set to the mesh axis name when stepping inside shard_map: sampling
+        # keys get the shard index folded in so per-env randomization
+        # decorrelates across shards (parallel/distributed.py)
+        self.axis_name: Optional[str] = None
         self.num_envs = comps.num_envs
         self.num_actions = comps.num_actions
         self.control_dt = comps.control_dt
-        self._spawn = jnp.tile(
-            jnp.asarray(comps.spawn_pos, dtype=jnp.float32)[None],
-            (comps.num_envs, 1),
-        )
+        self._spawn_const = jnp.asarray(comps.spawn_pos, dtype=jnp.float32)
+        self._spawn = jnp.tile(self._spawn_const[None], (comps.num_envs, 1))
         self._default_dof = jnp.asarray(comps.default_dof_pos, dtype=jnp.float32)
+        self._control_step = comps.engine.make_control_step(
+            comps.physics_steps_per_control
+        )
         self._step_jit = jax.jit(self.step_fn, donate_argnums=0)
         self._reset_jit = jax.jit(self.reset_fn)
         self.state: Optional[EnvState] = None
@@ -163,8 +168,12 @@ class DexHandEnv:
 
     def step_fn(self, state: EnvState, actions: jnp.ndarray):
         c = self.comps
-        n = c.num_envs
+        n = state.physics.q.shape[0]  # LOCAL batch under shard_map
         key, reset_key, dr_key = jax.random.split(state.rng, 3)
+        if self.axis_name is not None:
+            shard = jax.lax.axis_index(self.axis_name)
+            reset_key = jax.random.fold_in(reset_key, shard)
+            dr_key = jax.random.fold_in(dr_key, shard)
 
         # --- pre-physics: action pipeline (SURVEY §2.3) ---
         if np.isfinite(c.clip_actions):
@@ -173,23 +182,15 @@ class DexHandEnv:
             c.pipeline, actions, state.active_prev_targets, state.active_rule_targets
         )
 
-        # --- physics: N lockstep steps (scanned to keep the HLO small) ---
-        step_batch = jax.vmap(c.engine.step_single, in_axes=(0, 0, 0, 0))
-
-        def phys_body(carry, _):
-            ph, _info = carry
-            ph, inf = step_batch(ph, full_targets, self._spawn, state.dr)
-            return (ph, inf), None
-
-        zero_info = StepInfo(
-            body_contact_force=state.body_contact_force,
-            box_contact_force=state.box_contact_force,
+        # --- physics: N lockstep steps (one fused Pallas kernel on TPU) ---
+        # spawn is broadcast from the LOCAL batch size: under shard_map the
+        # per-shard state is smaller than num_envs
+        n_local = state.physics.q.shape[0]
+        spawn = jnp.broadcast_to(self._spawn_const[None], (n_local, 3))
+        phys, info = self._control_step(
+            state.physics, full_targets, spawn, state.dr
         )
-        (phys, info), _ = jax.lax.scan(
-            phys_body, (state.physics, zero_info), None,
-            length=c.physics_steps_per_control,
-        )
-        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
+        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, spawn)
 
         # --- post-physics ---
         state_like = {
@@ -324,6 +325,13 @@ class DexHandEnv:
             "reward_components": components,
             **term_info,
         }
+        if self.axis_name is not None:
+            # scalar diagnostics must be replicated across shards
+            extras = jax.tree.map(
+                lambda v: jax.lax.pmean(v, self.axis_name)
+                if getattr(v, "ndim", 1) == 0 else v,
+                extras,
+            )
         return new_state, obs_buf, rew, done, extras
 
     def reset_fn(self, key: jax.Array):

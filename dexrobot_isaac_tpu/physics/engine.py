@@ -468,3 +468,64 @@ class HandPhysics:
     def kinematics(self, state: PhysicsState, spawn_pos: jnp.ndarray) -> KinematicsOut:
         """Batched FK only (for observation/reset paths)."""
         return jax.vmap(self.fk)(state.q, state.qd, spawn_pos)
+
+    def make_control_step(self, n_physics_steps: int, use_pallas: bool | None = None):
+        """Build fn(state, targets, spawn, dr) -> (state, StepInfo) covering
+        `n_physics_steps` physics steps (x substeps each) per call.
+
+        On TPU the whole control step runs as ONE fused Pallas kernel with
+        envs on lanes (physics/pallas_step.py); elsewhere it is a lax.scan
+        over the vmapped jnp step (the reference implementation the kernel is
+        tested against).
+        """
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+        if use_pallas:
+            from dexrobot_isaac_tpu.physics.pallas_step import build_control_step
+
+            ctrl = build_control_step(self, n_physics_steps)
+
+            def fn(state: PhysicsState, targets, spawn, dr: DRSample):
+                box13 = jnp.concatenate(
+                    [state.box_pos, state.box_quat, state.box_linvel,
+                     state.box_angvel], axis=1,
+                )
+                dr4 = jnp.stack(
+                    [dr.kp_scale, dr.kd_scale, dr.box_mass_scale,
+                     dr.friction_scale], axis=1,
+                ).astype(state.q.dtype)
+                q, qd, box, cf, bf = ctrl(
+                    state.q, state.qd, targets, spawn, box13, dr4
+                )
+                new_state = PhysicsState(
+                    q=q, qd=qd, box_pos=box[:, :3], box_quat=box[:, 3:7],
+                    box_linvel=box[:, 7:10], box_angvel=box[:, 10:13],
+                )
+                return new_state, StepInfo(
+                    body_contact_force=cf, box_contact_force=bf
+                )
+
+            return fn
+
+        step_batch = jax.vmap(self.step_single, in_axes=(0, 0, 0, 0))
+
+        def fn(state: PhysicsState, targets, spawn, dr: DRSample):
+            def body(carry, _):
+                ph, _info = carry
+                ph, inf = step_batch(ph, targets, spawn, dr)
+                return (ph, inf), None
+
+            n = state.q.shape[0]
+            zero_info = StepInfo(
+                body_contact_force=jnp.zeros(
+                    (n, self.model.num_bodies, 3), dtype=state.q.dtype
+                ),
+                box_contact_force=jnp.zeros((n, 3), dtype=state.q.dtype),
+            )
+            (state, info), _ = jax.lax.scan(
+                body, (state, zero_info), None, length=n_physics_steps
+            )
+            return state, info
+
+        return fn

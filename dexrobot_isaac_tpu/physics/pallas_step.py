@@ -1,0 +1,580 @@
+"""Fused Pallas TPU kernel for the full physics control step.
+
+The XLA-level engine (`physics/engine.py`) expresses the simulator as
+single-world math batched by `vmap`; that leaves thousands of tiny (N, 3/4)
+ops whose lanes are mostly padding -- measured ~0.7% of VPU peak. This kernel
+turns the layout sideways: ONE kernel computes the entire control step
+(`physics_steps_per_control x substeps` integrator substeps) for a block of
+envs, with every physical scalar held as a lane-vector over envs. All model
+constants (tree topology, attach frames, inertias, collision spheres, PD
+gains) are baked into the unrolled kernel at trace time.
+
+Per substep the kernel computes, exactly mirroring HandPhysics._substep:
+  FK + velocity propagation over the 26-body tree
+  collision-sphere positions/velocities
+  penalty contacts (sphere-plane, sphere-box, box corners-plane) with the
+    sequential-impulse effective-mass clamp and depenetration cap
+  gravity + contact spatial forces -> subtree sums -> generalized forces
+  CRBA composite spatial inertias (10-parameter symmetric form) -> mass matrix
+    on ancestor pairs (exact sparsity, zero ops elsewhere)
+  implicit-PD system assembly + dense unrolled Cholesky solve
+  semi-implicit integration, joint-limit projection, box integration with
+    velocity caps
+
+Numerical parity with the jnp engine is asserted by tests/test_pallas_step.py
+(<=1e-3 relative over random states); the jnp path remains the reference
+implementation and the fallback off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ENV_BLOCK = 1024  # f32 lane-vecs tile as (8, 128)
+
+
+# ----------------------------------------------------------------------
+# lane-vector math helpers: values are tuples of (B,) arrays
+# ----------------------------------------------------------------------
+def _qmul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    )
+
+
+def _qrot(q, v):
+    qx, qy, qz, qw = q
+    vx, vy, vz = v
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    return (
+        vx + qw * tx + qy * tz - qz * ty,
+        vy + qw * ty + qz * tx - qx * tz,
+        vz + qw * tz + qx * ty - qy * tx,
+    )
+
+
+def _qrot_inv(q, v):
+    qx, qy, qz, qw = q
+    return _qrot((-qx, -qy, -qz, qw), v)
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _add(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _scale(a, s):
+    return tuple(x * s for x in a)
+
+
+def _rotmat_from_quat(q):
+    """3x3 rotation entries (row-major tuple of 9 lane-vectors)."""
+    qx, qy, qz, qw = q
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return (
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    )
+
+
+def _mat_vec(m9, v):
+    return (
+        m9[0] * v[0] + m9[1] * v[1] + m9[2] * v[2],
+        m9[3] * v[0] + m9[4] * v[1] + m9[5] * v[2],
+        m9[6] * v[0] + m9[7] * v[1] + m9[8] * v[2],
+    )
+
+
+def _mat_t_vec(m9, v):
+    return (
+        m9[0] * v[0] + m9[3] * v[1] + m9[6] * v[2],
+        m9[1] * v[0] + m9[4] * v[1] + m9[7] * v[2],
+        m9[2] * v[0] + m9[5] * v[1] + m9[8] * v[2],
+    )
+
+
+def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
+                       interpret: bool = False):
+    """Returns fn(q, qd, targets, spawn, box13, dr4) -> (q', qd', box13',
+    cf (N, B_bodies, 3), boxf (N, 3)) running n_physics_steps * substeps
+    substeps in one kernel call. All I/O arrays are env-major (N, ...)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = engine.model
+    p = engine.params
+    nb = m.num_bodies
+    h = float(engine.substep_dt)
+    total_substeps = int(n_physics_steps * p.substeps)
+
+    parent = [int(x) for x in m.parent]
+    is_prism = [bool(x) for x in (m.joint_type == 0)]
+    axis_c = m.axis.astype(np.float32)
+    apos_c = m.attach_pos.astype(np.float32)
+    aquat_c = m.attach_quat.astype(np.float32)
+    post_c = m.post_quat.astype(np.float32)
+    has_post = [not np.allclose(m.post_quat[i], [0, 0, 0, 1]) for i in range(nb)]
+    mass_c = m.mass.astype(np.float32)
+    com_c = m.com.astype(np.float32)
+    inertia_c = m.inertia.astype(np.float32)
+    lower_c = m.lower_limit.astype(np.float32)
+    upper_c = m.upper_limit.astype(np.float32)
+    kp_c = m.stiffness.astype(np.float32)
+    kd_c = m.damping.astype(np.float32)
+    arm_c = m.armature.astype(np.float32)
+    sb = [int(x) for x in m.sphere_body]
+    spos_c = m.sphere_pos.astype(np.float32)
+    srad_c = m.sphere_radius.astype(np.float32)
+    smeff_c = np.maximum(m.mass[m.sphere_body], 0.01).astype(np.float32)
+    ns = len(sb)
+
+    # ancestor-or-self pairs (i ancestor of j) for the sparse mass matrix
+    anc_chain: List[List[int]] = []  # per body: its ancestors incl. self
+    for b in range(nb):
+        chain = []
+        j = b
+        while j >= 0:
+            chain.append(j)
+            j = parent[j]
+        anc_chain.append(sorted(chain))
+    anc_pairs = set()
+    for b in range(nb):
+        for i in anc_chain[b]:
+            anc_pairs.add((min(i, b), max(i, b)))
+    nonzero = [[False] * nb for _ in range(nb)]
+    for (i, j) in anc_pairs:
+        nonzero[i][j] = nonzero[j][i] = True
+    children = [[] for _ in range(nb)]
+    for b in range(nb):
+        if parent[b] >= 0:
+            children[parent[b]].append(b)
+
+    box_inertia = float(p.box_mass * p.box_size**2 / 6.0) if p.has_box else 1.0
+    mu_hg = 0.5 * (p.hand_friction + p.ground_friction)
+    mu_hb = 0.5 * (p.hand_friction + p.box_friction)
+    mu_bg = 0.5 * (p.box_friction + p.ground_friction)
+    half = float(p.box_size / 2.0)
+    gz = float(p.gravity)
+
+    def contact_force(depth, n3, rel3, mu, m_eff):
+        """Mirrors HandPhysics._penalty_force for one contact, lane math."""
+        active = (depth > 0.0).astype(depth.dtype)
+        vn = _dot(rel3, n3)
+        fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
+        corr = jnp.minimum(
+            p.contact_beta * depth / h, p.max_depenetration_velocity
+        )
+        fn_imp = m_eff / h * (-vn + corr)
+        fn = jnp.clip(jnp.minimum(fn_spring, fn_imp), 0.0, None) * active
+        vt = _sub(rel3, _scale(n3, vn))
+        vt_n = jnp.sqrt(_dot(vt, vt) + 1e-12)
+        ft = jnp.minimum(
+            jnp.minimum(p.friction_stiffness * vt_n, mu * fn),
+            m_eff / h * vt_n,
+        )
+        fvec = _add(_scale(n3, fn), _scale(vt, -ft / (vt_n + 1e-6)))
+        return fvec
+
+    def substep(q, qd, box, tgt, spawn, drv):
+        kp_s, kd_s, bm_s, fr_s = drv
+        # ---------------- FK + velocities ----------------
+        pos: List = [None] * nb
+        quat: List = [None] * nb
+        lin: List = [None] * nb
+        ang: List = [None] * nb
+        axw: List = [None] * nb
+        orig: List = [None] * nb
+        zero = jnp.zeros_like(q[0])
+        for i in range(nb):
+            pi = parent[i]
+            if pi < 0:
+                pp, pq = spawn, (zero, zero, zero, zero + 1.0)
+                pv = pw = (zero, zero, zero)
+            else:
+                pp, pq, pv, pw = pos[pi], quat[pi], lin[pi], ang[pi]
+            ap = tuple(float(apos_c[i][k]) for k in range(3))
+            o = _add(pp, _qrot(pq, ap))
+            aq = tuple(float(aquat_c[i][k]) for k in range(4))
+            jq = _qmul(pq, aq)
+            ax = tuple(float(axis_c[i][k]) for k in range(3))
+            a_w = _qrot(jq, ax)
+            v_o = _add(pv, _cross(pw, _sub(o, pp)))
+            if is_prism[i]:
+                bp = _add(o, _scale(a_w, q[i]))
+                bq = jq
+                bv = _add(_add(v_o, _cross(pw, _sub(bp, o))), _scale(a_w, qd[i]))
+                bw = pw
+            else:
+                bp = o
+                hq = q[i] * 0.5
+                sq, cq = jnp.sin(hq), jnp.cos(hq)
+                jrot = (ax[0] * sq, ax[1] * sq, ax[2] * sq, cq)
+                bq = _qmul(jq, jrot)
+                bv = v_o
+                bw = _add(pw, _scale(a_w, qd[i]))
+            if has_post[i]:
+                pq4 = tuple(float(post_c[i][k]) for k in range(4))
+                bq = _qmul(bq, pq4)
+            pos[i], quat[i], lin[i], ang[i] = bp, bq, bv, bw
+            axw[i], orig[i] = a_w, o
+
+        # ---------------- contacts ----------------
+        bF = [(zero, zero, zero) for _ in range(nb)]   # net force per body
+        bN = [(zero, zero, zero) for _ in range(nb)]   # moment about origin
+        cf = [(zero, zero, zero) for _ in range(nb)]   # reported contact force
+        box_f = (zero, zero, zero)
+        box_t = (zero, zero, zero)
+        if p.has_box:
+            bpos = (box[0], box[1], box[2])
+            bquat = (box[3], box[4], box[5], box[6])
+            blin = (box[7], box[8], box[9])
+            bang = (box[10], box[11], box[12])
+            box_mass = p.box_mass * bm_s
+            box_in = box_inertia * bm_s
+        for s in range(ns):
+            b = sb[s]
+            sp_l = tuple(float(spos_c[s][k]) for k in range(3))
+            sp = _add(pos[b], _qrot(quat[b], sp_l))
+            sv = _add(lin[b], _cross(ang[b], _sub(sp, pos[b])))
+            r = float(srad_c[s])
+            m_eff = float(smeff_c[s])
+            # sphere vs ground plane
+            f = contact_force(r - sp[2], (zero, zero, zero + 1.0), sv,
+                              mu_hg * fr_s, m_eff)
+            if p.has_box:
+                # sphere vs box
+                rel_c = _sub(sp, bpos)
+                loc = _qrot_inv(bquat, rel_c)
+                cl = tuple(jnp.clip(x, -half, half) for x in loc)
+                d = _sub(loc, cl)
+                dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                outside = dist > 1e-9
+                n_out = _scale(d, 1.0 / (dist + 1e-9))
+                gap = tuple(half - jnp.abs(x) for x in loc)
+                # nearest face when inside
+                m01 = gap[0] < gap[1]
+                m2 = (jnp.where(m01, gap[0], gap[1]) < gap[2])
+                sel0 = m01 & m2
+                sel1 = (~m01) & m2
+                sel2 = ~m2
+                sgn = lambda x: jnp.where(x >= 0, 1.0, -1.0)
+                n_in = (
+                    jnp.where(sel0, sgn(loc[0]), 0.0),
+                    jnp.where(sel1, sgn(loc[1]), 0.0),
+                    jnp.where(sel2, sgn(loc[2]), 0.0),
+                )
+                depth_in = r + jnp.where(
+                    sel0, gap[0], jnp.where(sel1, gap[1], gap[2])
+                )
+                nl = tuple(jnp.where(outside, a, bvl)
+                           for a, bvl in zip(n_out, n_in))
+                depth_b = jnp.where(outside, r - dist, depth_in)
+                nw = _qrot(bquat, nl)
+                surf = tuple(jnp.where(outside, a, bvl) for a, bvl in zip(cl, loc))
+                p_c = _add(bpos, _qrot(bquat, surf))
+                r_c = _sub(p_c, bpos)
+                v_bp = _add(blin, _cross(bang, r_c))
+                rel = _sub(sv, v_bp)
+                rxn = _cross(r_c, nw)
+                ang_t = _dot(rxn, rxn) / box_in
+                m_red = 1.0 / (1.0 / m_eff + 1.0 / box_mass + ang_t)
+                fb = contact_force(depth_b, nw, rel, mu_hb * fr_s, m_red)
+                f = _add(f, fb)
+                react = _scale(fb, -1.0)
+                box_f = _add(box_f, react)
+                box_t = _add(box_t, _cross(r_c, react))
+            cf[b] = _add(cf[b], f)
+            bF[b] = _add(bF[b], f)
+            bN[b] = _add(bN[b], _cross(sp, f))
+        if p.has_box:
+            # box corners vs ground
+            Rb = _rotmat_from_quat(bquat)
+            for sx in (-half, half):
+                for sy in (-half, half):
+                    for sz in (-half, half):
+                        cl = (sx + zero, sy + zero, sz + zero)
+                        cw = _add(bpos, _mat_vec(Rb, cl))
+                        r_c = _sub(cw, bpos)
+                        vc = _add(blin, _cross(bang, r_c))
+                        n3 = (zero, zero, zero + 1.0)
+                        ang8 = _dot(_cross(r_c, n3), _cross(r_c, n3)) / box_in
+                        m_c = 1.0 / (4.0 / box_mass + ang8)
+                        fc = contact_force(-cw[2], n3, vc, mu_bg * fr_s, m_c)
+                        box_f = _add(box_f, fc)
+                        box_t = _add(box_t, _cross(r_c, fc))
+
+        # ---------------- gravity + subtree spatial forces ----------------
+        for i in range(nb):
+            if mass_c[i] == 0.0:
+                continue
+            R = _rotmat_from_quat(quat[i])
+            cw = _add(pos[i], _mat_vec(R, tuple(float(com_c[i][k]) for k in range(3))))
+            fg = (zero, zero, zero + float(mass_c[i]) * gz)
+            bF[i] = _add(bF[i], fg)
+            bN[i] = _add(bN[i], _cross(cw, fg))
+        # reverse topological accumulation (children before parents)
+        for i in reversed(range(nb)):
+            if parent[i] >= 0:
+                bF[parent[i]] = _add(bF[parent[i]], bF[i])
+                bN[parent[i]] = _add(bN[parent[i]], bN[i])
+        # generalized forces Q_j = a.n - a.(o x F) [rev] | a.F [prism]
+        Q = [None] * nb
+        S_ang = [None] * nb
+        S_lin = [None] * nb
+        for j in range(nb):
+            if is_prism[j]:
+                S_ang[j] = (zero, zero, zero)
+                S_lin[j] = axw[j]
+                Q[j] = _dot(axw[j], bF[j])
+            else:
+                S_ang[j] = axw[j]
+                S_lin[j] = _cross(orig[j], axw[j])
+                Q[j] = _dot(S_ang[j], bN[j]) + _dot(S_lin[j], bF[j])
+
+        # ---------------- CRBA (10-parameter composite inertias) ----------
+        # per body about world origin: T (sym 3x3: 6), k = m*c_w (3), mass
+        T = [None] * nb
+        K = [None] * nb
+        Msum = [None] * nb
+        for i in range(nb):
+            mi = float(mass_c[i])
+            R = _rotmat_from_quat(quat[i])
+            cw = _add(pos[i], _mat_vec(R, tuple(float(com_c[i][k]) for k in range(3))))
+            # Ic_w = R Ic R^T  (Ic constant 3x3)
+            Ic = inertia_c[i]
+            RI = [None] * 9
+            for a in range(3):
+                for bcol in range(3):
+                    RI[a * 3 + bcol] = (
+                        R[a * 3 + 0] * float(Ic[0][bcol])
+                        + R[a * 3 + 1] * float(Ic[1][bcol])
+                        + R[a * 3 + 2] * float(Ic[2][bcol])
+                    )
+            icw = [None] * 6  # xx, xy, xz, yy, yz, zz
+            idx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            for n_, (a, bcol) in enumerate(idx):
+                icw[n_] = (
+                    RI[a * 3 + 0] * R[bcol * 3 + 0]
+                    + RI[a * 3 + 1] * R[bcol * 3 + 1]
+                    + RI[a * 3 + 2] * R[bcol * 3 + 2]
+                )
+            # T = Ic_w - m * cx cx ; (cx cx) = c c^T - |c|^2 I
+            c2 = _dot(cw, cw)
+            Txx = icw[0] - mi * (cw[0] * cw[0] - c2)
+            Txy = icw[1] - mi * (cw[0] * cw[1])
+            Txz = icw[2] - mi * (cw[0] * cw[2])
+            Tyy = icw[3] - mi * (cw[1] * cw[1] - c2)
+            Tyz = icw[4] - mi * (cw[1] * cw[2])
+            Tzz = icw[5] - mi * (cw[2] * cw[2] - c2)
+            T[i] = (Txx, Txy, Txz, Tyy, Tyz, Tzz)
+            K[i] = _scale(cw, mi)
+            Msum[i] = mi + zero
+        for i in reversed(range(nb)):
+            pi = parent[i]
+            if pi >= 0:
+                T[pi] = _add(T[pi], T[i])
+                K[pi] = _add(K[pi], K[i])
+                Msum[pi] = Msum[pi] + Msum[i]
+        # f_j = Ic_j S_j : ftop = T a + k x v ; fbot = -(k x a) + m v
+        ftop = [None] * nb
+        fbot = [None] * nb
+        for j in range(nb):
+            a3, v3 = S_ang[j], S_lin[j]
+            t6 = T[j]
+            Ta = (
+                t6[0] * a3[0] + t6[1] * a3[1] + t6[2] * a3[2],
+                t6[1] * a3[0] + t6[3] * a3[1] + t6[4] * a3[2],
+                t6[2] * a3[0] + t6[4] * a3[1] + t6[5] * a3[2],
+            )
+            ftop[j] = _add(Ta, _cross(K[j], v3))
+            fbot[j] = _add(_scale(_cross(K[j], a3), -1.0), _scale(v3, Msum[j]))
+        # mass matrix entries on ancestor pairs: M[i][j] = S_i . f_{max(i,j)}
+        # (for i ancestor of j use f_j; symmetric)
+        A = [[None] * nb for _ in range(nb)]
+        for bdy in range(nb):
+            for i in anc_chain[bdy]:
+                val = _dot(S_ang[i], ftop[bdy]) + _dot(S_lin[i], fbot[bdy])
+                A[i][bdy] = val
+                A[bdy][i] = val
+        # implicit PD: A = M + diag(arm + h*kd + h^2*kp); rhs = M qd + h(...)
+        rhs = [None] * nb
+        for i in range(nb):
+            acc = zero
+            for j in range(nb):
+                if nonzero[i][j]:
+                    acc = acc + A[i][j] * qd[j]
+            acc = acc + float(arm_c[i]) * qd[i]
+            kp_i = float(kp_c[i]) * kp_s
+            rhs[i] = acc + h * (kp_i * (tgt[i] - q[i]) + Q[i])
+            A[i][i] = (
+                A[i][i] + float(arm_c[i])
+                + h * float(kd_c[i]) * kd_s + h * h * kp_i
+            )
+        # dense unrolled Cholesky; structural zeros stay None until
+        # fill-in materializes them (root-first ordering does fill in)
+        L = [[None] * nb for _ in range(nb)]
+        inv_d = [None] * nb
+        for j in range(nb):
+            s = A[j][j]
+            for k in range(j):
+                if L[j][k] is not None:
+                    s = s - L[j][k] * L[j][k]
+            dinv = jax.lax.rsqrt(s)
+            inv_d[j] = dinv
+            L[j][j] = s * dinv
+            for i in range(j + 1, nb):
+                v = A[i][j]
+                for k in range(j):
+                    if L[i][k] is not None and L[j][k] is not None:
+                        t = L[i][k] * L[j][k]
+                        v = -t if v is None else v - t
+                L[i][j] = None if v is None else v * dinv
+        y = [None] * nb
+        for i in range(nb):
+            v = rhs[i]
+            for k in range(i):
+                if L[i][k] is not None:
+                    v = v - L[i][k] * y[k]
+            y[i] = v * inv_d[i]
+        qd_new = [None] * nb
+        for i in reversed(range(nb)):
+            v = y[i]
+            for k in range(i + 1, nb):
+                if L[k][i] is not None:
+                    v = v - L[k][i] * qd_new[k]
+            qd_new[i] = v * inv_d[i]
+        q_new = [None] * nb
+        for i in range(nb):
+            qn = q[i] + h * qd_new[i]
+            lo, up = float(lower_c[i]), float(upper_c[i])
+            low_hit = qn < lo
+            high_hit = qn > up
+            qn = jnp.clip(qn, lo, up)
+            v = qd_new[i]
+            v = jnp.where(low_hit & (v < 0), 0.0, v)
+            v = jnp.where(high_hit & (v > 0), 0.0, v)
+            q_new[i], qd_new[i] = qn, v
+
+        # ---------------- box integration ----------------
+        if p.has_box:
+            inv_i = 1.0 / box_in
+            lv = (
+                blin[0] + h * box_f[0] / box_mass,
+                blin[1] + h * box_f[1] / box_mass,
+                blin[2] + h * (box_f[2] / box_mass + gz),
+            )
+            av = _add(bang, _scale(box_t, h * inv_i))
+            ln = jnp.sqrt(_dot(lv, lv) + 1e-18)
+            lv = _scale(lv, jnp.minimum(1.0, 10.0 / (ln + 1e-9)))
+            an = jnp.sqrt(_dot(av, av) + 1e-18)
+            av = _scale(av, jnp.minimum(1.0, 64.0 / (an + 1e-9)))
+            bp_n = _add(bpos, _scale(lv, h))
+            # quat integrate: q' = normalize(q + 0.5 h * omega_quat * q)
+            oq = (av[0], av[1], av[2], zero)
+            dq = _qmul(oq, bquat)
+            qn4 = tuple(bq_ + 0.5 * h * dq_ for bq_, dq_ in zip(bquat, dq))
+            norm = jnp.sqrt(_dot(qn4, qn4) + 1e-18)
+            qn4 = _scale(qn4, 1.0 / norm)
+            box_new = (bp_n[0], bp_n[1], bp_n[2], qn4[0], qn4[1], qn4[2], qn4[3],
+                       lv[0], lv[1], lv[2], av[0], av[1], av[2])
+        else:
+            box_new = box
+        cf_flat = []
+        for i in range(nb):
+            cf_flat.extend(cf[i])
+        return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), box_f
+
+    def kernel(q_ref, qd_ref, tgt_ref, spawn_ref, box_ref, dr_ref,
+               qo_ref, qdo_ref, boxo_ref, cfo_ref, boxfo_ref):
+        tgt = tuple(tgt_ref[i, :] for i in range(nb))
+        q0 = tuple(q_ref[i, :] for i in range(nb))
+        qd0 = tuple(qd_ref[i, :] for i in range(nb))
+        box0 = tuple(box_ref[i, :] for i in range(13))
+        spawn = tuple(spawn_ref[i, :] for i in range(3))
+        drv = tuple(dr_ref[i, :] for i in range(4))
+        zero = jnp.zeros_like(q0[0])
+        cf0 = tuple(zero for _ in range(nb * 3))
+        bf0 = (zero, zero, zero)
+
+        def body(_, carry):
+            q, qd, box, _cf, _bf = carry
+            return substep(q, qd, box, tgt, spawn, drv)
+
+        q, qd, box, cf, bf = jax.lax.fori_loop(
+            0, total_substeps, body, (q0, qd0, box0, cf0, bf0)
+        )
+        for i in range(nb):
+            qo_ref[i, :] = q[i]
+            qdo_ref[i, :] = qd[i]
+        for i in range(13):
+            boxo_ref[i, :] = box[i]
+        for i in range(nb * 3):
+            cfo_ref[i, :] = cf[i]
+        for i in range(3):
+            boxfo_ref[i, :] = bf[i]
+
+    @jax.jit
+    def control_step(q, qd, targets, spawn, box13, dr4):
+        """All env-major: q/qd/targets (N, 26), spawn (N, 3), box13 (N, 13),
+        dr4 (N, 4). Returns (q', qd', box13', cf (N, nb, 3), boxf (N, 3))."""
+        N = q.shape[0]
+        pad = (-N) % block
+        def prep(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+                )
+            return jnp.transpose(x, (1, 0))
+        qt, qdt, tt = prep(q), prep(qd), prep(targets)
+        st, bt, drt = prep(spawn), prep(box13), prep(dr4)
+        npad = N + pad
+        grid = npad // block
+        spec = lambda d: pl.BlockSpec((d, block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            interpret=interpret,
+            in_specs=[spec(nb), spec(nb), spec(nb), spec(3), spec(13), spec(4)],
+            out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, npad), q.dtype),
+                jax.ShapeDtypeStruct((nb, npad), q.dtype),
+                jax.ShapeDtypeStruct((13, npad), q.dtype),
+                jax.ShapeDtypeStruct((nb * 3, npad), q.dtype),
+                jax.ShapeDtypeStruct((3, npad), q.dtype),
+            ],
+        )(qt, qdt, tt, st, bt, drt)
+        unprep = lambda x: jnp.transpose(x, (1, 0))[:N]
+        qo, qdo, boxo, cfo, bfo = (unprep(o) for o in out)
+        return qo, qdo, boxo, cfo.reshape(N, nb, 3), bfo
+
+    return control_step

@@ -117,9 +117,15 @@ class PPOLearner:
         cfg: PPOConfig,
         env_step: Callable,      # (env_state, actions) -> (env_state, obs, rew, done, extras)
         seed: int = 42,
+        axis_name: Optional[str] = None,
     ):
+        """axis_name: when set, the learner assumes it runs inside shard_map
+        over that mesh axis (env batch sharded, params replicated) and inserts
+        the pmean collectives for gradients/statistics explicitly. When None,
+        all reductions are local (single device, or GSPMD handles it)."""
         self.cfg = cfg
         self.env_step = env_step
+        self.axis_name = axis_name
         self.network = ActorCritic(num_actions=cfg.num_actions, units=tuple(cfg.units))
         self._seed = seed
         # donate only the learner state: obs may alias a leaf of env_state at
@@ -151,6 +157,11 @@ class PPOLearner:
             epoch=jnp.asarray(0, jnp.int32),
             rng=key,
         )
+
+    def _pmean(self, x):
+        if self.axis_name is None:
+            return x
+        return jax.lax.pmean(x, self.axis_name)
 
     # ------------------------------------------------------------------
     def _forward(self, params, obs_rms, obs):
@@ -265,17 +276,22 @@ class PPOLearner:
             return total, (mu, sigma)
 
         grads, (mu, sigma) = jax.grad(loss_fn, has_aux=True)(ppo_params)
+        grads = jax.tree.map(self._pmean, grads)
         updates, opt_state = self._tx.update(
             grads, _set_lr(opt_state, lr), ppo_params
         )
         ppo_params = optax.apply_updates(ppo_params, updates)
-        kl = _policy_kl(mu, sigma, mu_old, sigma_old)
+        kl = self._pmean(_policy_kl(mu, sigma, mu_old, sigma_old))
         return (ppo_params, opt_state, lr, obs_rms, value_rms, kl_sum + kl), kl
 
     def _train_iteration(self, ppo: PPOState, env_state, obs):
         """One PPO epoch: rollout + GAE + minibatch updates + adaptive LR."""
         cfg = self.cfg
         key, roll_key, perm_key = jax.random.split(ppo.rng, 3)
+        if self.axis_name is not None:
+            shard = jax.lax.axis_index(self.axis_name)
+            roll_key = jax.random.fold_in(roll_key, shard)
+            perm_key = jax.random.fold_in(perm_key, shard)
 
         env_state, obs, _, traj, roll_extras = self._rollout(
             ppo, env_state, obs, roll_key
@@ -285,13 +301,18 @@ class PPOLearner:
         )
         advantages, returns = self._gae(ppo, traj, last_value)
 
-        # update running stats from this rollout
+        # update running stats from this rollout (global moments under
+        # shard_map via pmean of per-shard moments)
         obs_rms = (
-            ppo.obs_rms.update(traj.obs.reshape(-1, cfg.num_obs))
+            ppo.obs_rms.update_with_moments(
+                *self._batch_moments(traj.obs.reshape(-1, cfg.num_obs))
+            )
             if cfg.normalize_input else ppo.obs_rms
         )
         value_rms = (
-            ppo.value_rms.update(returns.reshape(-1))
+            ppo.value_rms.update_with_moments(
+                *self._batch_moments(returns.reshape(-1))
+            )
             if cfg.normalize_value else ppo.value_rms
         )
         returns_norm = (
@@ -300,23 +321,27 @@ class PPOLearner:
         )
         old_values_norm = traj.value
         if cfg.normalize_advantage:
-            advantages = (advantages - advantages.mean()) / (
-                advantages.std() + 1e-8
-            )
+            adv_mean = self._pmean(advantages.mean())
+            adv_var = self._pmean(((advantages - adv_mean) ** 2).mean())
+            advantages = (advantages - adv_mean) / (jnp.sqrt(adv_var) + 1e-8)
 
-        # flatten (T, N, ...) -> (T*N, ...)
+        # flatten (T, N_local, ...) -> (T*N_local, ...). Shapes are LOCAL under
+        # shard_map; the minibatch COUNT is global so every shard steps its
+        # local slice of each global minibatch in lockstep with pmean'd grads.
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         adv_flat = advantages.reshape(-1)
         ret_flat = returns_norm.reshape(-1)
         val_flat = old_values_norm.reshape(-1)
 
-        n_mb = cfg.batch_size // cfg.minibatch
+        local_batch = flat.obs.shape[0]
+        n_mb = max(1, cfg.batch_size // cfg.minibatch)
+        local_mb = local_batch // n_mb
 
         def epoch_fn(carry, ekey):
             params, opt_state, lr, kl_last = carry
-            perm = jax.random.permutation(ekey, cfg.batch_size)
+            perm = jax.random.permutation(ekey, local_batch)
             mb_data = jax.tree.map(
-                lambda x: x[perm].reshape((n_mb, cfg.minibatch) + x.shape[1:]),
+                lambda x: x[perm].reshape((n_mb, local_mb) + x.shape[1:]),
                 (flat.obs, flat.action, flat.log_prob, val_flat, adv_flat,
                  ret_flat, flat.mu, flat.sigma),
             )
@@ -351,12 +376,24 @@ class PPOLearner:
         metrics = {
             "kl": kl,
             "lr": lr,
-            "reward_mean": traj.reward.mean(),
-            "value_mean": traj.value.mean(),
-            "advantage_std": advantages.std(),
-            "episode_done_frac": traj.done.astype(jnp.float32).mean(),
+            "reward_mean": self._pmean(traj.reward.mean()),
+            "value_mean": self._pmean(traj.value.mean()),
+            "advantage_std": jnp.sqrt(self._pmean(jnp.square(advantages).mean())),
+            "episode_done_frac": self._pmean(
+                traj.done.astype(jnp.float32).mean()
+            ),
         }
         return new_ppo, env_state, obs, metrics, roll_extras
+
+    def _batch_moments(self, batch):
+        """Per-batch mean/var/count with cross-shard reduction when sharded."""
+        n_local = batch.shape[0]
+        mean = self._pmean(batch.mean(axis=0))
+        var = self._pmean(((batch - mean) ** 2).mean(axis=0))
+        count = jnp.asarray(n_local, jnp.float32)
+        if self.axis_name is not None:
+            count = jax.lax.psum(count, self.axis_name)
+        return mean, var, count
 
 
 def _set_lr(opt_state, lr):

@@ -39,6 +39,11 @@ class RunningMeanStd:
         b_count = jnp.asarray(
             np_prod(batch.shape[: batch.ndim - self.mean.ndim]), jnp.float32
         )
+        return self.update_with_moments(b_mean, b_var, b_count)
+
+    def update_with_moments(self, b_mean, b_var, b_count) -> "RunningMeanStd":
+        """Chan's parallel update from precomputed batch moments (used for
+        globally-consistent updates under shard_map)."""
         delta = b_mean - self.mean
         tot = self.count + b_count
         new_mean = self.mean + delta * (b_count / tot)

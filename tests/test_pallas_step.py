@@ -1,0 +1,113 @@
+"""Parity of the fused Pallas control-step kernel vs the jnp reference engine.
+
+Runs the kernel in interpret mode on CPU (the real TPU path compiles the same
+trace through Mosaic) and compares one physics step against
+HandPhysics.step over contact-free and contact-active states.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+# Interpreting the ~18k-op fused kernel on CPU takes many minutes; the suite
+# runs it only when opted in. On real TPU hardware run:
+#   DEXHAND_TPU_TESTS=1 JAX_PLATFORMS=axon python -m pytest tests/test_pallas_step.py
+pytestmark = pytest.mark.skipif(
+    os.environ.get("DEXHAND_TPU_TESTS") != "1",
+    reason="pallas parity is slow under interpret mode; set DEXHAND_TPU_TESTS=1",
+)
+
+from dexrobot_isaac_tpu.constants import NUM_DOFS
+from dexrobot_isaac_tpu.physics.engine import HandPhysics
+from dexrobot_isaac_tpu.physics.pallas_step import build_control_step
+from dexrobot_isaac_tpu.physics.types import (
+    DRSample,
+    PhysicsState,
+    SimParams,
+    make_initial_physics_state,
+)
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def phys():
+    return HandPhysics(
+        params=SimParams(dt=0.01, substeps=2, has_box=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def ctrl(phys):
+    return build_control_step(phys, n_physics_steps=1, block=N, interpret=True)
+
+
+def run_both(phys, ctrl, state, targets, spawn):
+    dr = DRSample.nominal(N)
+    ref_state, ref_info = phys.step(state, targets, spawn, dr)
+    box13 = jnp.concatenate(
+        [state.box_pos, state.box_quat, state.box_linvel, state.box_angvel],
+        axis=1,
+    )
+    dr4 = jnp.stack(
+        [dr.kp_scale, dr.kd_scale, dr.box_mass_scale, dr.friction_scale], axis=1
+    )
+    out = ctrl(state.q, state.qd, targets, spawn, box13, dr4)
+    return ref_state, ref_info, out
+
+
+class TestPallasParity:
+    def test_free_dynamics_parity(self, phys, ctrl):
+        rng = np.random.default_rng(0)
+        q0 = np.zeros((N, 26), np.float32)
+        q0[:, 6:] = rng.uniform(0.0, 0.5, (N, 20))
+        state = make_initial_physics_state(
+            N, box_pos=jnp.tile(jnp.array([[5.0, 0.0, 0.5]]), (N, 1))
+        )
+        state = PhysicsState(
+            q=jnp.asarray(q0), qd=state.qd, box_pos=state.box_pos,
+            box_quat=state.box_quat, box_linvel=state.box_linvel,
+            box_angvel=state.box_angvel,
+        )
+        spawn = jnp.tile(jnp.array([[0.0, 0.0, 0.5]], dtype=jnp.float32), (N, 1))
+        targets = jnp.asarray(
+            np.clip(q0 + 0.1, 0, 1.3).astype(np.float32)
+        )
+        ref_state, _, (q, qd, box, cf, bf) = run_both(
+            phys, ctrl, state, targets, spawn
+        )
+        np.testing.assert_allclose(np.asarray(q), np.asarray(ref_state.q),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(qd), np.asarray(ref_state.qd),
+                                   atol=2e-3)
+        # ballistic box identical
+        np.testing.assert_allclose(
+            np.asarray(box[:, :3]), np.asarray(ref_state.box_pos), atol=1e-6
+        )
+
+    def test_contact_parity(self, phys, ctrl):
+        # box resting on the ground directly under descending fingers
+        state = make_initial_physics_state(
+            N, box_pos=jnp.tile(jnp.array([[0.12, 0.0, 0.027]]), (N, 1))
+        )
+        spawn = jnp.tile(jnp.array([[0.0, 0.0, 0.075]], dtype=jnp.float32), (N, 1))
+        targets = jnp.zeros((N, NUM_DOFS)).at[:, 2].set(-0.02)
+        ref_state, ref_info, (q, qd, box, cf, bf) = run_both(
+            phys, ctrl, state, targets, spawn
+        )
+        np.testing.assert_allclose(np.asarray(q), np.asarray(ref_state.q),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(box[:, :3]), np.asarray(ref_state.box_pos), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(bf), np.asarray(ref_info.box_contact_force),
+            atol=0.05, rtol=0.05,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cf), np.asarray(ref_info.body_contact_force),
+            atol=0.05, rtol=0.05,
+        )

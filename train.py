@@ -114,7 +114,19 @@ def main(argv=None) -> int:
         units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
         reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
     )
-    learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed)
+    n_devices = len(jax.devices())
+    distributed = n_devices > 1 and env.num_envs % n_devices == 0
+    if distributed:
+        from dexrobot_isaac_tpu.parallel.mesh import DATA_AXIS
+
+        env.axis_name = DATA_AXIS
+        logger.info(
+            f"Distributed: sharding {env.num_envs} envs over {n_devices} "
+            f"devices via shard_map"
+        )
+        learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed, axis_name=DATA_AXIS)
+    else:
+        learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed)
     ppo = learner.init_state()
 
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
@@ -124,11 +136,13 @@ def main(argv=None) -> int:
         ppo = load_checkpoint(path, ppo)
 
     if test_mode:
+        if distributed:
+            env.axis_name = None  # evaluation runs single-program
         return run_test(cfg, env, learner, ppo, run_dir, logger)
-    return run_train(cfg, env, learner, ppo, run_dir, logger)
+    return run_train(cfg, env, learner, ppo, run_dir, logger, distributed)
 
 
-def run_train(cfg, env, learner, ppo, run_dir, logger) -> int:
+def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int:
     import jax
     import numpy as np
 
@@ -152,13 +166,31 @@ def run_train(cfg, env, learner, ppo, run_dir, logger) -> int:
     task_name = get_by_path(cfg, "task.name", "BaseTask")
     nn_dir = os.path.join(run_dir, "nn")
 
+    # reset must run with axis_name unset (it executes outside shard_map)
+    saved_axis, env.axis_name = env.axis_name, None
     env_state, obs = env._reset_jit(jax.random.key(env._seed))
+    env.axis_name = saved_axis
+
+    if distributed:
+        from dexrobot_isaac_tpu.parallel.distributed import make_sharded_train_step
+        from dexrobot_isaac_tpu.parallel.mesh import (
+            make_mesh, replicate_pytree, shard_batch_pytree,
+        )
+
+        mesh = make_mesh()
+        train_step = make_sharded_train_step(learner, mesh, env_state, obs)
+        env_state = shard_batch_pytree(env_state, mesh)
+        obs = shard_batch_pytree(obs, mesh)
+        ppo = replicate_pytree(ppo, mesh)
+    else:
+        train_step = learner.train_iteration
+
     best_reward = -np.inf
     t_start = time.time()
     steps_per_iter = learner.cfg.horizon_length * env.num_envs
 
     for it in range(1, max_iters + 1):
-        ppo, env_state, obs, metrics, roll_extras = learner.train_iteration(
+        ppo, env_state, obs, metrics, roll_extras = train_step(
             ppo, env_state, obs
         )
         if it % log_interval == 0:
