@@ -255,6 +255,41 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
         monitor = HotReloadMonitor(path, on_reload, reload_interval)
         monitor.start()
 
+    # video sidecar: render env 0 from returned states (off the hot loop)
+    video_record = bool(get_by_path(cfg, "env.videoRecord", False))
+    video_stream = bool(get_by_path(cfg, "env.videoStream", False))
+    renderer = recorder = streamer = None
+    if video_record or video_stream:
+        from dexrobot_isaac_tpu.graphics.renderer import SceneRenderer
+
+        resolution = get_by_path(cfg, "env.video.resolution", [640, 480])
+        renderer = SceneRenderer(
+            env.comps.model, resolution=tuple(resolution),
+            box_size=env.comps.engine.params.box_size,
+        )
+        if video_record:
+            from dexrobot_isaac_tpu.graphics.video import VideoRecorder
+
+            out_dir = get_by_path(cfg, "env.video.outputDir") or os.path.join(
+                run_dir, "videos"
+            )
+            recorder = VideoRecorder(
+                out_dir,
+                max_duration_seconds=float(
+                    get_by_path(cfg, "env.video.maxDurationSeconds", 60)
+                ),
+            )
+            recorder.finalize_fps(env.control_dt)
+            recorder.start_episode()
+        if video_stream:
+            from dexrobot_isaac_tpu.graphics.streamer import HTTPVideoStreamer
+
+            streamer = HTTPVideoStreamer(
+                host=get_by_path(cfg, "env.stream.host", "127.0.0.1"),
+                port=int(get_by_path(cfg, "env.stream.port", 8080)),
+            )
+            streamer.start()
+
     step_jit = jax.jit(env.step_fn)
     act_jit = jax.jit(learner.act_deterministic)
     env_state, obs = env._reset_jit(jax.random.key(env._seed))
@@ -267,6 +302,24 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
         while games_target == 0 or games < games_target:
             actions = act_jit(ppo_box["state"], obs)
             env_state, obs, rew, done, extras = step_jit(env_state, actions)
+            if renderer is not None:
+                import numpy as _np
+
+                kin = env.comps.engine.kinematics(env_state.physics, env._spawn)
+                frame = renderer.render_state(
+                    _np.asarray(kin.body_pos[0]), _np.asarray(kin.body_quat[0]),
+                    box_pos=(_np.asarray(env_state.physics.box_pos[0])
+                             if env.comps.engine.params.has_box else None),
+                    box_quat=_np.asarray(env_state.physics.box_quat[0]),
+                    contact_force_bodies=_np.linalg.norm(
+                        _np.asarray(env_state.body_contact_force[0]), axis=-1
+                    ),
+                    title=f"games {games}",
+                )
+                if recorder is not None:
+                    recorder.add_frame(frame)
+                if streamer is not None:
+                    streamer.add_frame(frame)
             rew_h = np.asarray(rew)
             done_h = np.asarray(done)
             ep_ret += rew_h
@@ -288,6 +341,11 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
     finally:
         if monitor:
             monitor.stop()
+        if recorder is not None:
+            recorder.stop_episode()
+            recorder.close()
+        if streamer is not None:
+            streamer.stop()
     if returns:
         logger.info(
             f"Evaluation: {len(returns)} episodes, avg return "
