@@ -164,6 +164,10 @@ class DexHandEnv:
         obs_buf = obs_mod.concat_selected_observations(c.obs_cfg, obs_dict)
         if np.isfinite(c.clip_observations):
             obs_buf = jnp.clip(obs_buf, -c.clip_observations, c.clip_observations)
+        # capture per-key dims once (shapes are static under tracing); feeds
+        # the semantic index-lookup API (reference obs-index API parity)
+        if not self.obs_slices:
+            self.obs_slices = obs_mod.observation_slices(c.obs_cfg, obs_dict)
         return obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
 
     def step_fn(self, state: EnvState, actions: jnp.ndarray):
@@ -440,6 +444,35 @@ class DexHandEnv:
 
     def seed(self, seed: int):
         self._seed = seed
+
+    # ------------------------------------------------------------------
+    # semantic observation index lookup (parity: reference index-lookup API,
+    # observation_encoder.py:999-1200)
+    # ------------------------------------------------------------------
+    def get_obs_slice(self, key: str) -> Tuple[int, int]:
+        """(start, end) slice of `key` within the policy observation tensor."""
+        if key not in self.obs_slices:
+            raise KeyError(
+                f"'{key}' is not in policy_observation_keys "
+                f"(available: {sorted(self.obs_slices)})"
+            )
+        return self.obs_slices[key]
+
+    def get_obs_index_for_base_joint(self, joint_name: str, obs_type: str = "pos") -> int:
+        """Index of a base DOF within the policy tensor."""
+        from dexrobot_isaac_tpu.constants import BASE_JOINT_NAMES
+
+        key = {"pos": "base_dof_pos", "vel": "base_dof_vel",
+               "target": "base_dof_target"}[obs_type]
+        start, _ = self.get_obs_slice(key)
+        return start + BASE_JOINT_NAMES.index(joint_name)
+
+    def get_obs_index_for_finger_control(self, control_index: int, obs_type: str = "pos") -> int:
+        """Index of an active finger control (0-11) within the policy tensor."""
+        key = {"pos": "active_finger_dof_pos", "vel": "active_finger_dof_vel",
+               "target": "active_finger_dof_target"}[obs_type]
+        start, _ = self.get_obs_slice(key)
+        return start + control_index
 
     @property
     def observation_space(self):

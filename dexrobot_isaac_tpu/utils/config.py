@@ -38,6 +38,8 @@ ALIASES = {
     "test": "train.test",
     "checkpoint": "train.checkpoint",
     "maxIterations": "train.maxIterations",
+    "testGamesNum": "train.testGamesNum",
+    "reloadInterval": "train.reloadInterval",
     "headless": "env.headless",
     "viewer": "env.viewer",
     "videoRecord": "env.videoRecord",

@@ -131,7 +131,9 @@ def main(argv=None) -> int:
 
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
     if ckpt_spec:
-        path = resolve_checkpoint(str(ckpt_spec))
+        path = resolve_checkpoint(
+            str(ckpt_spec), base_dir=os.environ.get("DEXHAND_RUNS_DIR", ".")
+        )
         logger.info(f"Loading checkpoint: {path}")
         ppo = load_checkpoint(path, ppo)
 
@@ -246,7 +248,9 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
     monitor = None
     if ckpt_spec:
-        path = resolve_checkpoint(str(ckpt_spec))
+        path = resolve_checkpoint(
+            str(ckpt_spec), base_dir=os.environ.get("DEXHAND_RUNS_DIR", ".")
+        )
 
         def on_reload(p):
             ppo_box["state"] = load_checkpoint(p, ppo_box["state"])
