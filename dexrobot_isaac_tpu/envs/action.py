@@ -116,12 +116,12 @@ def build_action_pipeline(
         policy_controls_base=policy_controls_base,
         policy_controls_fingers=policy_controls_fingers,
         num_actions=num_actions,
-        active_lower=jnp.asarray(lower, dtype=jnp.float32),
-        active_upper=jnp.asarray(upper, dtype=jnp.float32),
-        max_deltas=jnp.asarray(max_deltas, dtype=jnp.float32),
-        coupling_src=jnp.asarray(src),
-        coupling_scale=jnp.asarray(scale, dtype=jnp.float32),
-        default_dof_pos=jnp.zeros(NUM_DOFS, dtype=jnp.float32),
+        active_lower=np.asarray(lower, dtype=np.float32),
+        active_upper=np.asarray(upper, dtype=np.float32),
+        max_deltas=np.asarray(max_deltas, dtype=np.float32),
+        coupling_src=np.asarray(src),
+        coupling_scale=np.asarray(scale, dtype=np.float32),
+        default_dof_pos=np.zeros(NUM_DOFS, dtype=np.float32),
         post_action_filters=tuple(post_action_filters),
         custom_action_rule=custom_action_rule,
         custom_filters=tuple(custom_filters),

@@ -94,9 +94,9 @@ class DexHandEnv:
         self.num_envs = comps.num_envs
         self.num_actions = comps.num_actions
         self.control_dt = comps.control_dt
-        self._spawn_const = jnp.asarray(comps.spawn_pos, dtype=jnp.float32)
-        self._spawn = jnp.tile(self._spawn_const[None], (comps.num_envs, 1))
-        self._default_dof = jnp.asarray(comps.default_dof_pos, dtype=jnp.float32)
+        self._spawn_const = np.asarray(comps.spawn_pos, dtype=np.float32)
+        self._spawn = np.tile(self._spawn_const[None], (comps.num_envs, 1))
+        self._default_dof = np.asarray(comps.default_dof_pos, dtype=np.float32)
         self._control_step = comps.engine.make_control_step(
             comps.physics_steps_per_control
         )

@@ -41,7 +41,7 @@ from dexrobot_isaac_tpu.physics.types import KinematicsOut
 
 _SQRT_HALF = 0.7071067811865476
 # the model's built-in rotation: hand quat is Ry(90 deg) at ARR=0
-_BUILTIN_ROT = jnp.array([0.0, _SQRT_HALF, 0.0, _SQRT_HALF], dtype=jnp.float32)
+_BUILTIN_ROT = np.array([0.0, _SQRT_HALF, 0.0, _SQRT_HALF], dtype=np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,15 +73,15 @@ def build_obs_config(
                ["r_f_link%d_pad" % f for f in range(1, 6)]]
     return ObsConfig(
         policy_observation_keys=tuple(policy_observation_keys),
-        contact_body_indices=jnp.asarray(
+        contact_body_indices=np.asarray(
             [model.body_index(b) for b in contact_force_bodies]
         ),
         num_contact_bodies=len(list(contact_force_bodies)),
         contact_binary_threshold=float(contact_binary_threshold),
         control_dt=float(control_dt),
         hand_body_index=model.body_index("right_hand_base"),
-        fingertip_site_indices=jnp.asarray(tip_idx),
-        fingerpad_site_indices=jnp.asarray(pad_idx),
+        fingertip_site_indices=np.asarray(tip_idx),
+        fingerpad_site_indices=np.asarray(pad_idx),
         num_actions=num_actions,
     )
 
@@ -130,7 +130,7 @@ def compute_default_observations(
 
     obs["base_dof_pos"] = dof_pos[:, :NUM_BASE_DOFS]
     obs["base_dof_vel"] = dof_vel[:, :NUM_BASE_DOFS]
-    act_idx = jnp.asarray(ACTIVE_FINGER_DOF_INDICES)
+    act_idx = np.asarray(ACTIVE_FINGER_DOF_INDICES)
     obs["active_finger_dof_pos"] = dof_pos[:, act_idx]
     obs["active_finger_dof_vel"] = dof_vel[:, act_idx]
     obs["all_finger_dof_pos"] = dof_pos[:, NUM_BASE_DOFS:]

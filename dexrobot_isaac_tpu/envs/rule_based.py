@@ -73,14 +73,15 @@ def adaptive_grasp(
 
     # finger-control index -> contact-sensor index (thumb, index, middle,
     # ring, pinky distal links); spread control (index 3) stays put
-    control_to_finger = jnp.asarray([0, 0, 0, -1, 1, 1, 2, 2, 3, 3, 4, 4])
+    import numpy as np
+    control_to_finger = np.asarray([0, 0, 0, -1, 1, 1, 2, 2, 3, 3, 4, 4])
 
     def controller(t, obs_dict, targets):
         contact = obs_dict["contact_binary"]  # (N, 5)
         gate = jnp.where(
             control_to_finger < 0,
             jnp.zeros_like(contact[:, :1]),
-            1.0 - contact[:, jnp.clip(control_to_finger, 0, 4)],
+            1.0 - contact[:, np.clip(control_to_finger, 0, 4)],
         )
         dt = 0.02  # advance per control step while no contact
         return targets + gate * close_rate * dt

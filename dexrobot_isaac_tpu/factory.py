@@ -118,13 +118,11 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         num_actions=pipeline.num_actions,
     )
 
-    import jax.numpy as jnp
-
     weights = dict(task_cfg.get("reward_weights", {}))
     reward_cfg = rew_mod.RewardConfig(
         weights=weights,
-        finger_lower_limits=jnp.asarray(model.lower_limit[6:], dtype=jnp.float32),
-        finger_upper_limits=jnp.asarray(model.upper_limit[6:], dtype=jnp.float32),
+        finger_lower_limits=np.asarray(model.lower_limit[6:], dtype=np.float32),
+        finger_upper_limits=np.asarray(model.upper_limit[6:], dtype=np.float32),
     )
 
     term = task_cfg.get("termination", {})

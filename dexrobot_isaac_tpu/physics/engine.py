@@ -93,14 +93,18 @@ class HandPhysics:
             while j >= 0:
                 anc[j, b] = 1.0
                 j = int(m.parent[j])
-        self._anc_body = jnp.asarray(anc)                     # (B, B)
-        self._anc_sphere = jnp.asarray(anc[:, m.sphere_body])  # (B, S)
+        # NOTE: all static model arrays are kept as NUMPY so that tracing
+        # embeds them as host constants -- closing over device arrays forces
+        # device->host fetches during MLIR lowering, which can deadlock over
+        # the remote-TPU tunnel this image uses
+        self._anc_body = anc                                   # (B, B)
+        self._anc_sphere = anc[:, m.sphere_body]               # (B, S)
 
         self._is_prismatic = m.joint_type == PRISMATIC  # numpy bool per body
         self._has_post = [
             not np.allclose(m.post_quat[i], [0, 0, 0, 1]) for i in range(B)
         ]
-        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        f32 = lambda x: np.asarray(x, dtype=np.float32)
         self._axis = f32(m.axis)
         self._attach_pos = f32(m.attach_pos)
         self._attach_quat = f32(m.attach_quat)
@@ -113,13 +117,13 @@ class HandPhysics:
         self._kp = f32(m.stiffness)
         self._kd = f32(m.damping)
         self._armature = f32(m.armature)
-        self._sphere_body = jnp.asarray(m.sphere_body)
+        self._sphere_body = np.asarray(m.sphere_body)
         self._sphere_pos = f32(m.sphere_pos)
         self._sphere_radius = f32(m.sphere_radius)
         # effective mass per collision sphere for the impulse clamp: the
         # attached body's mass (floored for very light links)
         self._sphere_meff = f32(np.maximum(m.mass[m.sphere_body], 0.01))
-        self._site_body = jnp.asarray(m.site_body)
+        self._site_body = np.asarray(m.site_body)
         self._site_pos = f32(m.site_pos)
         self._site_quat = f32(m.site_quat)
         p = self.params
