@@ -105,12 +105,18 @@ class DexHandEnv:
         self.state: Optional[EnvState] = None
         self.obs_slices: Dict[str, Tuple[int, int]] = {}
         self._seed = seed
-        # probe obs dim with an abstract trace (no device compute)
+        self._criteria_names = None
+        # probe obs dim with an abstract trace (no device compute); the trace
+        # also captures obs slices and the produced criterion names
         shape = jax.eval_shape(
             self.reset_fn, jax.random.key(0)
         )
         self.num_obs = int(shape[1].shape[-1])
         comps.num_obs = self.num_obs
+        # fail fast if an active criterion has no implementation
+        # (reference termination_manager.py:98-118)
+        if self._criteria_names is not None:
+            comps.term_cfg.validate(*self._criteria_names)
 
     # ------------------------------------------------------------------
     # functional core
@@ -168,6 +174,11 @@ class DexHandEnv:
         # the semantic index-lookup API (reference obs-index API parity)
         if not self.obs_slices:
             self.obs_slices = obs_mod.observation_slices(c.obs_cfg, obs_dict)
+        if self._criteria_names is None:
+            self._criteria_names = (
+                set(tstep.success_criteria),
+                {"hitting_ground", *tstep.failure_criteria},
+            )
         return obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
 
     def step_fn(self, state: EnvState, actions: jnp.ndarray):
@@ -436,9 +447,21 @@ class DexHandEnv:
         # record semantic obs slices once (host-side, for the lookup API)
         return obs
 
+    def toggle_random_actions(self):
+        """Toggle random-action override (parity: the reference's SPACE-key
+        debug override, dexhand_base.py:854-862)."""
+        self._random_actions = not getattr(self, "_random_actions", False)
+        return self._random_actions
+
     def step(self, actions):
         if self.state is None:
             self.reset()
+        if getattr(self, "_random_actions", False):
+            self._np_rng = getattr(self, "_np_rng", np.random.default_rng(0))
+            actions = jnp.asarray(
+                self._np_rng.uniform(-1, 1, (self.num_envs, self.num_actions)),
+                dtype=jnp.float32,
+            )
         self.state, obs, rew, done, extras = self._step_jit(self.state, actions)
         return obs, rew, done, extras
 

@@ -110,9 +110,24 @@ def resolve_checkpoint(spec: str, base_dir: str = ".") -> str:
     if spec in ("latest", "latest_train", "latest_test"):
         mode = "train" if spec in ("latest", "latest_train") else "test"
         link = os.path.join(runs, f"latest_{mode}")
-        if not os.path.exists(link):
-            raise FileNotFoundError(f"No {link} symlink exists yet")
-        spec = link
+        if os.path.exists(link) and _newest_checkpoint(link) is not None:
+            spec = link
+        else:
+            # the newest run may have died before saving; fall back to the
+            # newest checkpoint across all runs of this mode
+            runs_all = os.path.join(os.path.abspath(base_dir), "runs_all")
+            candidates = []
+            if os.path.isdir(runs_all):
+                for name in os.listdir(runs_all):
+                    if f"_{mode}_" in name:
+                        found = _newest_checkpoint(os.path.join(runs_all, name))
+                        if found:
+                            candidates.append((os.stat(found).st_mtime, found))
+            if not candidates:
+                raise FileNotFoundError(
+                    f"No checkpoint found for '{spec}' under {runs} or {runs_all}"
+                )
+            return max(candidates)[1]
     if os.path.isdir(spec):
         found = _newest_checkpoint(spec)
         if found is None:

@@ -191,7 +191,16 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     t_start = time.time()
     steps_per_iter = learner.cfg.horizon_length * env.num_envs
 
+    # profiling (reference exposes only Isaac's overlay; here a real trace):
+    # train.profile=N captures a jax profiler trace of iterations 2..2+N
+    profile_iters = int(get_by_path(cfg, "train.profile", 0) or 0)
+
     for it in range(1, max_iters + 1):
+        if profile_iters and it == 2:
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+        if profile_iters and it == 2 + profile_iters:
+            jax.profiler.stop_trace()
+            logger.info(f"Profiler trace written to {run_dir}/profile")
         ppo, env_state, obs, metrics, roll_extras = train_step(
             ppo, env_state, obs
         )
