@@ -301,19 +301,25 @@ class PPOLearner:
         )
         advantages, returns = self._gae(ppo, traj, last_value)
 
-        # update running stats from this rollout (global moments under
-        # shard_map via pmean of per-shard moments)
-        obs_rms = (
-            ppo.obs_rms.update_with_moments(
+        # Running stats are updated from this rollout but take effect NEXT
+        # iteration: the minibatch updates must see the SAME normalizer the
+        # rollout's log-probs/mu were computed under, otherwise normalizer
+        # drift puts a floor under the measured KL and the adaptive LR decays
+        # forever. (Moments are globally consistent under shard_map via
+        # pmean.)
+        obs_rms = ppo.obs_rms
+        value_rms = ppo.value_rms
+        new_obs_rms = (
+            obs_rms.update_with_moments(
                 *self._batch_moments(traj.obs.reshape(-1, cfg.num_obs))
             )
-            if cfg.normalize_input else ppo.obs_rms
+            if cfg.normalize_input else obs_rms
         )
-        value_rms = (
-            ppo.value_rms.update_with_moments(
+        new_value_rms = (
+            value_rms.update_with_moments(
                 *self._batch_moments(returns.reshape(-1))
             )
-            if cfg.normalize_value else ppo.value_rms
+            if cfg.normalize_value else value_rms
         )
         returns_norm = (
             value_rms.normalize(returns, clip=np.inf)
@@ -367,8 +373,8 @@ class PPOLearner:
         new_ppo = PPOState(
             params=params,
             opt_state=opt_state,
-            obs_rms=obs_rms,
-            value_rms=value_rms,
+            obs_rms=new_obs_rms,
+            value_rms=new_value_rms,
             lr=lr,
             epoch=ppo.epoch + 1,
             rng=key,
