@@ -9,8 +9,11 @@ import os
 
 # NOTE: this image preloads jax and registers the remote "axon" TPU backend
 # via sitecustomize with JAX_PLATFORMS=axon preset; a plain setdefault would
-# silently run the whole test suite over the TPU tunnel. Force-override.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# silently run the whole test suite over the TPU tunnel. Force-override —
+# except when explicitly running the TPU-hardware test subset.
+_TPU_TESTS = os.environ.get("DEXHAND_TPU_TESTS") == "1"
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,7 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 from dexrobot_isaac_tpu.utils.compilation_cache import (  # noqa: E402
