@@ -58,6 +58,7 @@ class PPOConfig:
     value_bootstrap: bool = True
     truncate_grads: bool = True
     units: Tuple[int, ...] = (512, 256, 128)
+    network_dtype: str = "float32"   # "bfloat16" puts the MLP on the MXU fast path
     reward_shaper_scale: float = 1.0
 
     @property
@@ -126,7 +127,11 @@ class PPOLearner:
         self.cfg = cfg
         self.env_step = env_step
         self.axis_name = axis_name
-        self.network = ActorCritic(num_actions=cfg.num_actions, units=tuple(cfg.units))
+        self.network = ActorCritic(
+            num_actions=cfg.num_actions,
+            units=tuple(cfg.units),
+            compute_dtype=jnp.dtype(cfg.network_dtype),
+        )
         self._seed = seed
         # donate only the learner state: obs may alias a leaf of env_state at
         # call sites, and donating both trips XLA's donated-buffer reuse check

@@ -112,6 +112,7 @@ def main(argv=None) -> int:
         normalize_advantage=bool(tp.get("normalize_advantage", True)),
         value_bootstrap=bool(tp.get("value_bootstrap", True)),
         units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
+        network_dtype=str(get_by_path(cfg, "train.params.network.dtype", "float32")),
         reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
     )
     n_devices = len(jax.devices())
