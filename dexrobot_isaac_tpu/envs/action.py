@@ -23,7 +23,7 @@ pre-physics (reference step_processor.py:66-77, dexhand_base.py:864-877).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -39,20 +39,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dexrobot_isaac_tpu.constants import (
-    DEFAULT_CONTACT_FORCE_BODIES,
-    NUM_ACTIVE_TARGETS,
-    NUM_DOFS,
-)
+from dexrobot_isaac_tpu.constants import NUM_DOFS
 from dexrobot_isaac_tpu.envs import action as action_mod
 from dexrobot_isaac_tpu.envs import observations as obs_mod
 from dexrobot_isaac_tpu.envs import rewards as rew_mod
 from dexrobot_isaac_tpu.envs import termination as term_mod
 from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 from dexrobot_isaac_tpu.envs.types import EnvState
-from dexrobot_isaac_tpu.models.dexhand021 import HandModel, build_hand_model
-from dexrobot_isaac_tpu.physics.engine import HandPhysics, StepInfo
-from dexrobot_isaac_tpu.physics.types import DRSample, PhysicsState, SimParams
+from dexrobot_isaac_tpu.models.dexhand021 import HandModel
+from dexrobot_isaac_tpu.physics.engine import HandPhysics
+from dexrobot_isaac_tpu.physics.types import DRSample, PhysicsState
 
 
 @dataclasses.dataclass

@@ -26,7 +26,7 @@ Reproduced semantics:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -28,7 +28,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from dexrobot_isaac_tpu.constants import DOF_INDEX, NUM_DOFS
+from dexrobot_isaac_tpu.constants import DOF_INDEX
 from dexrobot_isaac_tpu.envs.tasks.api import DexTask, TaskReset, TaskStep
 from dexrobot_isaac_tpu.physics.types import SimParams
 

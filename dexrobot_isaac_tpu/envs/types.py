@@ -10,7 +10,7 @@ makes the whole env step a single XLA program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ assembles all static sub-configs the jitted step function closes over.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Type
 
 import numpy as np

@@ -18,10 +18,9 @@ EnvState.rng itself stays replicated.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

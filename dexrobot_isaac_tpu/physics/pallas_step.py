@@ -28,8 +28,7 @@ implementation and the fallback off-TPU.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
