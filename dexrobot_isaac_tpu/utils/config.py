@@ -51,7 +51,7 @@ ALIASES = {
 }
 
 # config groups selectable from the CLI like hydra's `task=BlindGrasping`
-_GROUPS = ("task", "train", "physics", "base")
+_GROUPS = ("task", "train", "physics", "base", "experiments")
 
 
 def deep_merge(base: Dict, override: Dict) -> Dict:
