@@ -34,6 +34,10 @@ class ActorCritic(nn.Module):
             lambda key, shape: jnp.full(shape, self.sigma_init, jnp.float32),
             (self.num_actions,),
         )
+        # clamp keeps sigma in [e^-5, e^2]: prevents exploration collapse on
+        # one side and the entropy-bonus/adaptive-LR runaway (NaN losses) on
+        # the other
+        log_std = jnp.clip(log_std, -5.0, 2.0)
         return (
             mu.astype(jnp.float32),
             jnp.broadcast_to(log_std, mu.shape),
