@@ -102,12 +102,14 @@ class DexHandEnv:
         self.obs_slices: Dict[str, Tuple[int, int]] = {}
         self._seed = seed
         self._criteria_names = None
+        self.num_states = 0   # set during trace when critic keys configured
         # probe obs dim with an abstract trace (no device compute); the trace
         # also captures obs slices and the produced criterion names
         shape = jax.eval_shape(
             self.reset_fn, jax.random.key(0)
         )
-        self.num_obs = int(shape[1].shape[-1])
+        # the buffer is [policy obs | privileged critic states]
+        self.num_obs = int(shape[1].shape[-1]) - self.num_states
         comps.num_obs = self.num_obs
         # fail fast if an active criterion has no implementation
         # (reference termination_manager.py:98-118)
@@ -166,6 +168,20 @@ class DexHandEnv:
         obs_buf = obs_mod.concat_selected_observations(c.obs_cfg, obs_dict)
         if np.isfinite(c.clip_observations):
             obs_buf = jnp.clip(obs_buf, -c.clip_observations, c.clip_observations)
+        # asymmetric actor-critic: append the privileged critic ("states")
+        # slice after the policy slice. The actor trunk consumes
+        # [:num_obs], the critic trunk [num_obs:] (rl/networks.py). Keeping
+        # one buffer leaves every step/rollout signature unchanged.
+        if c.obs_cfg.critic_observation_keys:
+            critic_buf = obs_mod.concat_selected_observations(
+                c.obs_cfg, obs_dict, keys=c.obs_cfg.critic_observation_keys
+            )
+            if np.isfinite(c.clip_observations):
+                critic_buf = jnp.clip(
+                    critic_buf, -c.clip_observations, c.clip_observations
+                )
+            self.num_states = int(critic_buf.shape[-1])
+            obs_buf = jnp.concatenate([obs_buf, critic_buf], axis=-1)
         # capture per-key dims once (shapes are static under tracing); feeds
         # the semantic index-lookup API (reference obs-index API parity)
         if not self.obs_slices:

@@ -57,6 +57,12 @@ class ObsConfig:
     fingertip_site_indices: jnp.ndarray  # (5,)
     fingerpad_site_indices: jnp.ndarray  # (5,)
     num_actions: int
+    # asymmetric actor-critic: when non-empty, these keys are concatenated
+    # into a privileged critic ("states") slice appended after the policy
+    # slice; the critic trunk consumes it while the actor sees only the
+    # policy slice (capability beyond the reference: its rl_games config
+    # never wires central_value; SURVEY §2.9)
+    critic_observation_keys: Tuple[str, ...] = ()
 
 
 def build_obs_config(
@@ -66,6 +72,7 @@ def build_obs_config(
     contact_binary_threshold: float,
     control_dt: float,
     num_actions: int,
+    critic_observation_keys=(),
 ) -> ObsConfig:
     tip_idx = [model.site_index(n) for n in
                ["r_f_link%d_tip" % f for f in range(1, 6)]]
@@ -83,6 +90,7 @@ def build_obs_config(
         fingertip_site_indices=np.asarray(tip_idx),
         fingerpad_site_indices=np.asarray(pad_idx),
         num_actions=num_actions,
+        critic_observation_keys=tuple(critic_observation_keys),
     )
 
 
@@ -190,15 +198,16 @@ def compute_default_observations(
 
 
 def concat_selected_observations(
-    cfg: ObsConfig, obs_dict: Dict[str, jnp.ndarray]
+    cfg: ObsConfig, obs_dict: Dict[str, jnp.ndarray], keys=None
 ) -> jnp.ndarray:
-    """Concatenate `policy_observation_keys` in config order into the policy
-    tensor (observation_encoder.py:783-829). Fail-fast on missing keys."""
+    """Concatenate `policy_observation_keys` (or an explicit `keys` list, e.g.
+    critic_observation_keys) in config order into one tensor
+    (observation_encoder.py:783-829). Fail-fast on missing keys."""
     parts = []
-    for key in cfg.policy_observation_keys:
+    for key in cfg.policy_observation_keys if keys is None else keys:
         if key not in obs_dict:
             raise KeyError(
-                f"policy observation key '{key}' not in obs_dict "
+                f"observation key '{key}' not in obs_dict "
                 f"(available: {sorted(obs_dict)})"
             )
         v = obs_dict[key]
@@ -207,13 +216,13 @@ def concat_selected_observations(
 
 
 def observation_slices(
-    cfg: ObsConfig, obs_dict: Dict[str, jnp.ndarray]
+    cfg: ObsConfig, obs_dict: Dict[str, jnp.ndarray], keys=None
 ) -> Dict[str, Tuple[int, int]]:
     """Semantic index lookup: key -> (start, end) slice into the policy tensor
     (reference index-lookup API, observation_encoder.py:999-1200)."""
     out: Dict[str, Tuple[int, int]] = {}
     ofs = 0
-    for key in cfg.policy_observation_keys:
+    for key in cfg.policy_observation_keys if keys is None else keys:
         v = obs_dict[key]
         dim = int(np.prod(v.shape[1:]))
         out[key] = (ofs, ofs + dim)

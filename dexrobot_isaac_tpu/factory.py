@@ -115,6 +115,7 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         contact_binary_threshold=task_cfg.get("contact_binary_threshold", 1.0),
         control_dt=control_dt,
         num_actions=pipeline.num_actions,
+        critic_observation_keys=task_cfg.get("critic_observation_keys", []),
     )
 
     weights = dict(task_cfg.get("reward_weights", {}))

@@ -38,6 +38,9 @@ class PPOConfig:
     num_actions: int
     num_obs: int
     num_envs: int
+    # asymmetric actor-critic: width of the privileged critic slice the env
+    # appends after the policy obs (env.num_states); 0 => symmetric
+    num_states: int = 0
     horizon_length: int = 16
     minibatch_size: Optional[int] = None   # None => num_envs (reference parity)
     mini_epochs: int = 4
@@ -60,6 +63,11 @@ class PPOConfig:
     units: Tuple[int, ...] = (512, 256, 128)
     network_dtype: str = "float32"   # "bfloat16" puts the MLP on the MXU fast path
     reward_shaper_scale: float = 1.0
+
+    @property
+    def obs_width(self) -> int:
+        """Total width of the env obs buffer: policy obs + critic states."""
+        return self.num_obs + self.num_states
 
     @property
     def batch_size(self) -> int:
@@ -131,6 +139,7 @@ class PPOLearner:
             num_actions=cfg.num_actions,
             units=tuple(cfg.units),
             compute_dtype=jnp.dtype(cfg.network_dtype),
+            num_states=cfg.num_states,
         )
         self._seed = seed
         # donate only the learner state: obs may alias a leaf of env_state at
@@ -143,7 +152,7 @@ class PPOLearner:
         key = jax.random.key(self._seed) if key is None else key
         key, init_key = jax.random.split(key)
         params = self.network.init(
-            init_key, jnp.zeros((1, cfg.num_obs), dtype=jnp.float32)
+            init_key, jnp.zeros((1, cfg.obs_width), dtype=jnp.float32)
         )
         self._tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
@@ -156,7 +165,7 @@ class PPOLearner:
         return PPOState(
             params=params,
             opt_state=opt_state,
-            obs_rms=RunningMeanStd.create((cfg.num_obs,)),
+            obs_rms=RunningMeanStd.create((cfg.obs_width,)),
             value_rms=RunningMeanStd.create(()),
             lr=jnp.asarray(cfg.learning_rate, jnp.float32),
             epoch=jnp.asarray(0, jnp.int32),
@@ -316,7 +325,7 @@ class PPOLearner:
         value_rms = ppo.value_rms
         new_obs_rms = (
             obs_rms.update_with_moments(
-                *self._batch_moments(traj.obs.reshape(-1, cfg.num_obs))
+                *self._batch_moments(traj.obs.reshape(-1, cfg.obs_width))
             )
             if cfg.normalize_input else obs_rms
         )

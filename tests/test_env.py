@@ -147,3 +147,22 @@ class TestBlindGraspingEnv:
         for k in ["failure_box_too_far", "failure_hitting_ground",
                   "success_grasp_lift_success"]:
             assert k in extras
+
+
+class TestAsymmetricObservations:
+    """critic_observation_keys appends a privileged slice after the policy
+    obs (envs/dexhand.py); shape-level only -- construction uses eval_shape,
+    so no physics compile is paid here."""
+
+    def test_critic_slice_appended(self):
+        cfg = load_config([
+            "task=BlindGrasping", "numEnvs=2",
+            "task.critic_observation_keys=[object_pos, object_vel, grasp_state]",
+        ])
+        env = make_env(cfg)
+        assert env.num_obs == 158          # policy slice unchanged
+        assert env.num_states == 3 + 3 + 1  # object_pos + object_vel + grasp_state
+        assert env.observation_space.shape == (158,)
+
+    def test_symmetric_default(self, env):
+        assert env.num_states == 0

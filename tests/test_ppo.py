@@ -113,3 +113,61 @@ class TestRunningMeanStd:
         np.testing.assert_allclose(
             float(rms.denormalize(rms.normalize(x))), 42.0, rtol=1e-4
         )
+
+
+NUM_STATES = 3
+
+
+def asym_env_step(state, actions):
+    """Toy env emitting [policy obs | privileged states]: the privileged
+    slice is the reward target, so only an asymmetric critic can see it."""
+    key, obs = state
+    key, sub = jax.random.split(key)
+    target = obs[:, NUM_OBS:NUM_OBS + NUM_ACT]  # privileged slice
+    reward = -jnp.sum((actions - target) ** 2, axis=-1)
+    new_obs = jax.random.normal(sub, obs.shape)
+    done = jnp.zeros(obs.shape[0], dtype=bool)
+    extras = {"timeout": jnp.zeros(obs.shape[0], dtype=bool)}
+    return (key, new_obs), new_obs, reward, done, extras
+
+
+class TestAsymmetricActorCritic:
+    """Asymmetric actor-critic: separate critic trunk on a privileged
+    ("states") slice appended after the policy obs (rl/networks.py)."""
+
+    @pytest.fixture(scope="class")
+    def asym_learner(self):
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_states=NUM_STATES,
+            num_envs=NUM_ENVS, horizon_length=8, minibatch_size=32,
+            mini_epochs=2, units=(32, 32),
+        )
+        return PPOLearner(cfg, asym_env_step, seed=0)
+
+    def test_separate_trunks(self, asym_learner):
+        st = asym_learner.init_state()
+        names = set(st.params["params"])
+        assert any(n.startswith("actor_") for n in names)
+        assert any(n.startswith("critic_") for n in names)
+
+    def test_actor_blind_to_privileged_slice(self, asym_learner):
+        """mu must be invariant to the privileged slice; value must not be."""
+        st = asym_learner.init_state()
+        key = jax.random.key(0)
+        obs = jax.random.normal(key, (NUM_ENVS, NUM_OBS + NUM_STATES))
+        obs2 = obs.at[:, NUM_OBS:].add(10.0)
+        mu1, _, v1 = asym_learner.network.apply(st.params, obs)
+        mu2, _, v2 = asym_learner.network.apply(st.params, obs2)
+        np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+        assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+    def test_train_iteration_runs(self, asym_learner):
+        st = asym_learner.init_state()
+        key = jax.random.key(1)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS + NUM_STATES)))
+        obs = env_state[1]
+        st2, env_state, obs, metrics, _ = asym_learner.train_iteration(
+            st, env_state, obs
+        )
+        assert int(st2.epoch) == 1
+        assert np.isfinite(float(metrics["kl"]))

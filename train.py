@@ -84,14 +84,16 @@ def main(argv=None) -> int:
 
     env = make_env(cfg, seed=seed)
     logger.info(
-        f"Env: {env.num_envs} envs, obs {env.num_obs}, actions "
-        f"{env.num_actions}, control_dt {env.control_dt:.3f}s"
+        f"Env: {env.num_envs} envs, obs {env.num_obs}"
+        + (f" (+{env.num_states} critic states)" if env.num_states else "")
+        + f", actions {env.num_actions}, control_dt {env.control_dt:.3f}s"
     )
 
     tp = get_by_path(cfg, "train.params.config", {}) or {}
     ppo_cfg = PPOConfig(
         num_actions=env.num_actions,
         num_obs=env.num_obs,
+        num_states=env.num_states,
         num_envs=env.num_envs,
         horizon_length=int(tp.get("horizon_length", 16)),
         minibatch_size=tp.get("minibatch_size"),
