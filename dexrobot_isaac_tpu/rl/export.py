@@ -145,6 +145,35 @@ def export_npz(ckpt_path: str, out_path: str) -> str:
     return out_path
 
 
+def export_flat_binary(ckpt_path: str, out_path: str) -> str:
+    """Flat little-endian binary for the C++ runtime (native/policy_runtime):
+
+    magic 'DXP1' | i32 num_layers | i32 num_obs | i32 num_actions |
+    f32 norm_clip | f32 obs_mean[num_obs] | f32 obs_std[num_obs] |
+    per layer (trunk..., then mu): i32 in | i32 out | f32 W[in*out]
+    (row-major, flax (in, out) layout) | f32 b[out]
+    """
+    import struct
+
+    w = extract_actor(ckpt_path)
+    n = int(w["num_layers"])
+    num_obs = int(w["num_obs"])
+    num_actions = int(w["mu_w"].shape[1])
+    with open(out_path, "wb") as f:
+        f.write(b"DXP1")
+        f.write(struct.pack("<iii f", n + 1, num_obs, num_actions,
+                            float(w["norm_clip"])))
+        f.write(w["obs_mean"].astype("<f4").tobytes())
+        f.write(w["obs_std"].astype("<f4").tobytes())
+        mats = [(w[f"layer_{i}_w"], w[f"layer_{i}_b"]) for i in range(n)]
+        mats.append((w["mu_w"], w["mu_b"]))
+        for W, b in mats:
+            f.write(struct.pack("<ii", W.shape[0], W.shape[1]))
+            f.write(np.ascontiguousarray(W, "<f4").tobytes())
+            f.write(b.astype("<f4").tobytes())
+    return out_path
+
+
 # ----------------------------------------------------------------------
 # torchscript deployment
 # ----------------------------------------------------------------------
@@ -198,14 +227,18 @@ def main(argv=None) -> int:
         description="Export a training checkpoint for deployment"
     )
     ap.add_argument("checkpoint", help="path to a .ckpt file")
-    ap.add_argument("--format", choices=["npz", "torchscript"], default="npz")
+    ap.add_argument(
+        "--format", choices=["npz", "torchscript", "bin"], default="npz"
+    )
     ap.add_argument("--out", default=None, help="output path")
     args = ap.parse_args(argv)
 
-    ext = ".npz" if args.format == "npz" else ".pt"
+    ext = {"npz": ".npz", "torchscript": ".pt", "bin": ".bin"}[args.format]
     out = args.out or os.path.splitext(args.checkpoint)[0] + ext
     if args.format == "npz":
         export_npz(args.checkpoint, out)
+    elif args.format == "bin":
+        export_flat_binary(args.checkpoint, out)
     else:
         export_torchscript(args.checkpoint, out)
     print(f"Exported {args.format} policy: {out}")

@@ -11,7 +11,13 @@ import os
 # via sitecustomize with JAX_PLATFORMS=axon preset; a plain setdefault would
 # silently run the whole test suite over the TPU tunnel. Force-override —
 # except when explicitly running the TPU-hardware test subset.
-_TPU_TESTS = os.environ.get("DEXHAND_TPU_TESTS") == "1"
+# DEXHAND_TPU_TESTS=1 opts into the TPU-gated subset; combined with an
+# explicit JAX_PLATFORMS=cpu it still runs on CPU (kernel interpret mode) —
+# never contend with a live TPU job for the single tunnel.
+_TPU_TESTS = (
+    os.environ.get("DEXHAND_TPU_TESTS") == "1"
+    and os.environ.get("JAX_PLATFORMS", "axon") != "cpu"
+)
 if not _TPU_TESTS:
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -2,6 +2,8 @@
 must reproduce `PPOLearner.act_deterministic` bit-for-bit-close on both the
 symmetric shared-trunk network and the asymmetric actor-critic."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -96,3 +98,75 @@ def test_cli(tmp_path):
     assert (tmp_path / "ckpt.npz").exists()
     assert main([ckpt, "--format", "torchscript"]) == 0
     assert (tmp_path / "ckpt.pt").exists()
+    assert main([ckpt, "--format", "bin"]) == 0
+    assert (tmp_path / "ckpt.bin").exists()
+
+
+# ----------------------------------------------------------------------
+# native C++ runtime (native/policy_runtime) parity via ctypes
+# ----------------------------------------------------------------------
+def _build_native_runtime(tmp_path):
+    import shutil
+    import subprocess
+
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    src = os.path.join(os.path.dirname(__file__), "..", "native",
+                       "policy_runtime")
+    build = tmp_path / "build"
+    subprocess.run(
+        ["cmake", "-S", src, "-B", str(build)], check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", str(build)], check=True, capture_output=True
+    )
+    return str(build / "libdex_policy.so")
+
+
+@pytest.mark.parametrize("num_states", [0, NUM_STATES])
+def test_cpp_runtime_matches(tmp_path, num_states):
+    import ctypes
+
+    from dexrobot_isaac_tpu.rl.export import export_flat_binary
+
+    learner, st, ckpt = make_ckpt(tmp_path, num_states)
+    bin_path = export_flat_binary(ckpt, str(tmp_path / "policy.bin"))
+    lib_path = _build_native_runtime(tmp_path)
+
+    lib = ctypes.CDLL(lib_path)
+    lib.dex_policy_load.restype = ctypes.c_void_p
+    lib.dex_policy_load.argtypes = [ctypes.c_char_p]
+    lib.dex_policy_act.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dex_policy_num_obs.argtypes = [ctypes.c_void_p]
+    lib.dex_policy_num_actions.argtypes = [ctypes.c_void_p]
+    lib.dex_policy_free.argtypes = [ctypes.c_void_p]
+
+    handle = lib.dex_policy_load(bin_path.encode())
+    assert handle, "dex_policy_load failed"
+    try:
+        assert lib.dex_policy_num_obs(handle) == NUM_OBS
+        assert lib.dex_policy_num_actions(handle) == NUM_ACT
+
+        obs = np.random.default_rng(2).normal(
+            size=(5, NUM_OBS)
+        ).astype(np.float32)
+        full = np.concatenate(
+            [obs, np.zeros((5, num_states), np.float32)], axis=1
+        )
+        ref = np.asarray(learner.act_deterministic(st, full))
+
+        out = np.empty((5, NUM_ACT), np.float32)
+        rc = lib.dex_policy_act(
+            handle,
+            obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 5,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert rc == 0
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        lib.dex_policy_free(handle)
