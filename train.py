@@ -192,6 +192,7 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
 
     best_reward = -np.inf
     t_start = time.time()
+    window_t, window_it = t_start, 0
     steps_per_iter = learner.cfg.horizon_length * env.num_envs
 
     # profiling (reference exposes only Isaac's overlay; here a real trace):
@@ -209,8 +210,12 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
         )
         if it % log_interval == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            elapsed = time.time() - t_start
-            sps = it * steps_per_iter / elapsed
+            # windowed rate: the first execution of a fresh program pays a
+            # multi-minute device-side kernel compile; a cumulative average
+            # would understate steady-state throughput for hours
+            now = time.time()
+            sps = (it - window_it) * steps_per_iter / max(now - window_t, 1e-9)
+            window_t, window_it = now, it
             logger.info(
                 f"iter {it}/{max_iters} reward {m['reward_mean']:+.3f} "
                 f"kl {m['kl']:.4f} lr {m['lr']:.2e} | {sps:,.0f} env-steps/s"
