@@ -214,10 +214,11 @@ class DexHandEnv:
         # per-shard state is smaller than num_envs
         n_local = state.physics.q.shape[0]
         spawn = jnp.broadcast_to(self._spawn_const[None], (n_local, 3))
-        phys, info = self._control_step(
+        # the control step also returns the final-state FK (computed inside
+        # the fused kernel on TPU) so no separate vmapped FK runs per step
+        phys, info, kin = self._control_step(
             state.physics, full_targets, spawn, state.dr
         )
-        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, spawn)
 
         # --- post-physics ---
         state_like = {

@@ -474,13 +474,15 @@ class HandPhysics:
         return jax.vmap(self.fk)(state.q, state.qd, spawn_pos)
 
     def make_control_step(self, n_physics_steps: int, use_pallas: bool | None = None):
-        """Build fn(state, targets, spawn, dr) -> (state, StepInfo) covering
-        `n_physics_steps` physics steps (x substeps each) per call.
+        """Build fn(state, targets, spawn, dr) -> (state, StepInfo, KinematicsOut)
+        covering `n_physics_steps` physics steps (x substeps each) per call.
+        The returned kinematics is the FK of the FINAL state — what the
+        observation path consumes — so callers never re-run FK per step.
 
         On TPU the whole control step runs as ONE fused Pallas kernel with
-        envs on lanes (physics/pallas_step.py); elsewhere it is a lax.scan
-        over the vmapped jnp step (the reference implementation the kernel is
-        tested against).
+        envs on lanes (physics/pallas_step.py), including the final FK;
+        elsewhere it is a lax.scan over the vmapped jnp step (the reference
+        implementation the kernel is tested against) followed by vmapped FK.
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -499,7 +501,7 @@ class HandPhysics:
                     [dr.kp_scale, dr.kd_scale, dr.box_mass_scale,
                      dr.friction_scale], axis=1,
                 ).astype(state.q.dtype)
-                q, qd, box, cf, bf = ctrl(
+                q, qd, box, cf, bf, kin = ctrl(
                     state.q, state.qd, targets, spawn, box13, dr4
                 )
                 new_state = PhysicsState(
@@ -508,7 +510,7 @@ class HandPhysics:
                 )
                 return new_state, StepInfo(
                     body_contact_force=cf, box_contact_force=bf
-                )
+                ), kin
 
             return fn
 
@@ -530,6 +532,7 @@ class HandPhysics:
             (state, info), _ = jax.lax.scan(
                 body, (state, zero_info), None, length=n_physics_steps
             )
-            return state, info
+            kin = jax.vmap(self.fk)(state.q, state.qd, spawn)
+            return state, info, kin
 
         return fn

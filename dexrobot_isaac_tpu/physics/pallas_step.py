@@ -123,8 +123,9 @@ def _mat_t_vec(m9, v):
 def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                        interpret: bool = False):
     """Returns fn(q, qd, targets, spawn, box13, dr4) -> (q', qd', box13',
-    cf (N, B_bodies, 3), boxf (N, 3)) running n_physics_steps * substeps
-    substeps in one kernel call. All I/O arrays are env-major (N, ...)."""
+    cf (N, B_bodies, 3), boxf (N, 3), kin: KinematicsOut) running
+    n_physics_steps * substeps substeps in one kernel call, then one final
+    FK pass for the observation path. All I/O arrays are env-major (N, ...)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,6 +155,13 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     srad_c = m.sphere_radius.astype(np.float32)
     smeff_c = np.maximum(m.mass[m.sphere_body], 0.01).astype(np.float32)
     ns = len(sb)
+    site_b = [int(x) for x in m.site_body]
+    sitep_c = m.site_pos.astype(np.float32)
+    siteq_c = m.site_quat.astype(np.float32)
+    nsite = len(site_b)
+    # final-state kinematics output rows: per body pos3+quat4+lin3+ang3+
+    # axis3+anchor3 (=19), then per site pos3+quat4 (=7)
+    kin_rows = nb * 19 + nsite * 7
 
     # ancestor-or-self pairs (i ancestor of j) for the sparse mass matrix
     anc_chain: List[List[int]] = []  # per body: its ancestors incl. self
@@ -171,6 +179,12 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     nonzero = [[False] * nb for _ in range(nb)]
     for (i, j) in anc_pairs:
         nonzero[i][j] = nonzero[j][i] = True
+    # strict ancestors (ascending) / descendants per body for the LTL solve
+    anc_strict = [[i for i in anc_chain[b] if i != b] for b in range(nb)]
+    desc_strict = [
+        [i for i in range(nb) if b in anc_chain[i] and i != b]
+        for b in range(nb)
+    ]
     children = [[] for _ in range(nb)]
     for b in range(nb):
         if parent[b] >= 0:
@@ -202,16 +216,15 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         fvec = _add(_scale(n3, fn), _scale(vt, -ft / (vt_n + 1e-6)))
         return fvec
 
-    def substep(q, qd, box, tgt, spawn, drv):
-        kp_s, kd_s, bm_s, fr_s = drv
-        # ---------------- FK + velocities ----------------
+    def fk_lane(q, qd, spawn, zero):
+        """FK + velocity propagation in lane math (mirrors HandPhysics.fk).
+        Returns per-body pos/quat/lin/ang plus world joint axis + anchor."""
         pos: List = [None] * nb
         quat: List = [None] * nb
         lin: List = [None] * nb
         ang: List = [None] * nb
         axw: List = [None] * nb
         orig: List = [None] * nb
-        zero = jnp.zeros_like(q[0])
         for i in range(nb):
             pi = parent[i]
             if pi < 0:
@@ -244,6 +257,13 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                 bq = _qmul(bq, pq4)
             pos[i], quat[i], lin[i], ang[i] = bp, bq, bv, bw
             axw[i], orig[i] = a_w, o
+        return pos, quat, lin, ang, axw, orig
+
+    def substep(q, qd, box, tgt, spawn, drv):
+        kp_s, kd_s, bm_s, fr_s = drv
+        # ---------------- FK + velocities ----------------
+        zero = jnp.zeros_like(q[0])
+        pos, quat, lin, ang, axw, orig = fk_lane(q, qd, spawn, zero)
 
         # ---------------- contacts ----------------
         bF = [(zero, zero, zero) for _ in range(nb)]   # net force per body
@@ -437,39 +457,36 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                 A[i][i] + float(arm_c[i])
                 + h * float(kd_c[i]) * kd_s + h * h * kp_i
             )
-        # dense unrolled Cholesky; structural zeros stay None until
-        # fill-in materializes them (root-first ordering does fill in)
-        L = [[None] * nb for _ in range(nb)]
+        # sparse LTL factorization (Featherstone, RBDA §8.5): processing
+        # leaf-to-root gives A = L^T L with ZERO fill-in — L's nonzeros are
+        # exactly the ancestor pairs, so every op below is structurally
+        # necessary (~2x fewer flops than the fill-in-prone root-first
+        # Cholesky this replaces; bodies are topologically ordered,
+        # parent[i] < i, so ancestors have smaller indices)
         inv_d = [None] * nb
-        for j in range(nb):
-            s = A[j][j]
-            for k in range(j):
-                if L[j][k] is not None:
-                    s = s - L[j][k] * L[j][k]
-            dinv = jax.lax.rsqrt(s)
-            inv_d[j] = dinv
-            L[j][j] = s * dinv
-            for i in range(j + 1, nb):
-                v = A[i][j]
-                for k in range(j):
-                    if L[i][k] is not None and L[j][k] is not None:
-                        t = L[i][k] * L[j][k]
-                        v = -t if v is None else v - t
-                L[i][j] = None if v is None else v * dinv
-        y = [None] * nb
-        for i in range(nb):
-            v = rhs[i]
-            for k in range(i):
-                if L[i][k] is not None:
-                    v = v - L[i][k] * y[k]
-            y[i] = v * inv_d[i]
+        for k in reversed(range(nb)):
+            d = jax.lax.rsqrt(A[k][k])
+            inv_d[k] = d
+            A[k][k] = A[k][k] * d  # = sqrt: the diagonal of L
+            for j in anc_strict[k]:
+                A[k][j] = A[k][j] * d
+            for ii, i in enumerate(anc_strict[k]):
+                for j in anc_strict[k][: ii + 1]:
+                    A[i][j] = A[i][j] - A[k][i] * A[k][j]
+        # solve L^T w = rhs (descendants feed ancestors, descending)
+        w = [None] * nb
+        for j in reversed(range(nb)):
+            v = rhs[j]
+            for i in desc_strict[j]:
+                v = v - A[i][j] * w[i]
+            w[j] = v * inv_d[j]
+        # solve L qd' = w (ancestors feed descendants, ascending)
         qd_new = [None] * nb
-        for i in reversed(range(nb)):
-            v = y[i]
-            for k in range(i + 1, nb):
-                if L[k][i] is not None:
-                    v = v - L[k][i] * qd_new[k]
-            qd_new[i] = v * inv_d[i]
+        for k in range(nb):
+            v = w[k]
+            for j in anc_strict[k]:
+                v = v - A[k][j] * qd_new[j]
+            qd_new[k] = v * inv_d[k]
         q_new = [None] * nb
         for i in range(nb):
             qn = q[i] + h * qd_new[i]
@@ -512,7 +529,7 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), box_f
 
     def kernel(q_ref, qd_ref, tgt_ref, spawn_ref, box_ref, dr_ref,
-               qo_ref, qdo_ref, boxo_ref, cfo_ref, boxfo_ref):
+               qo_ref, qdo_ref, boxo_ref, cfo_ref, boxfo_ref, kino_ref):
         tgt = tuple(tgt_ref[i, :] for i in range(nb))
         q0 = tuple(q_ref[i, :] for i in range(nb))
         qd0 = tuple(qd_ref[i, :] for i in range(nb))
@@ -539,11 +556,32 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             cfo_ref[i, :] = cf[i]
         for i in range(3):
             boxfo_ref[i, :] = bf[i]
+        # final-state FK folded into the kernel: one extra FK pass (~a
+        # fraction of one substep) replaces the separate vmapped XLA FK the
+        # env used to run for observations after every control step
+        pos, quat, lin, ang, axw, orig = fk_lane(q, qd, spawn, zero)
+        rows: List = []
+        for group in (pos, quat, lin, ang, axw, orig):
+            for i in range(nb):
+                rows.extend(group[i])
+        for s in range(nsite):
+            b = site_b[s]
+            sp_l = tuple(float(sitep_c[s][k]) for k in range(3))
+            rows.extend(_add(pos[b], _qrot(quat[b], sp_l)))
+        for s in range(nsite):
+            b = site_b[s]
+            sq_l = tuple(float(siteq_c[s][k]) for k in range(4))
+            rows.extend(_qmul(quat[b], sq_l))
+        for i, v in enumerate(rows):
+            kino_ref[i, :] = v
 
     @jax.jit
     def control_step(q, qd, targets, spawn, box13, dr4):
         """All env-major: q/qd/targets (N, 26), spawn (N, 3), box13 (N, 13),
-        dr4 (N, 4). Returns (q', qd', box13', cf (N, nb, 3), boxf (N, 3))."""
+        dr4 (N, 4). Returns (q', qd', box13', cf (N, nb, 3), boxf (N, 3),
+        kin: KinematicsOut of the final state)."""
+        from dexrobot_isaac_tpu.physics.types import KinematicsOut
+
         N = q.shape[0]
         pad = (-N) % block
         def prep(x):
@@ -563,17 +601,33 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             grid=(grid,),
             interpret=interpret,
             in_specs=[spec(nb), spec(nb), spec(nb), spec(3), spec(13), spec(4)],
-            out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3)],
+            out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3),
+                       spec(kin_rows)],
             out_shape=[
                 jax.ShapeDtypeStruct((nb, npad), q.dtype),
                 jax.ShapeDtypeStruct((nb, npad), q.dtype),
                 jax.ShapeDtypeStruct((13, npad), q.dtype),
                 jax.ShapeDtypeStruct((nb * 3, npad), q.dtype),
                 jax.ShapeDtypeStruct((3, npad), q.dtype),
+                jax.ShapeDtypeStruct((kin_rows, npad), q.dtype),
             ],
         )(qt, qdt, tt, st, bt, drt)
         unprep = lambda x: jnp.transpose(x, (1, 0))[:N]
-        qo, qdo, boxo, cfo, bfo = (unprep(o) for o in out)
-        return qo, qdo, boxo, cfo.reshape(N, nb, 3), bfo
+        qo, qdo, boxo, cfo, bfo, kt = (unprep(o) for o in out)
+        # unpack the kinematics rows (layout documented at kin_rows above)
+        dims = [3, 4, 3, 3, 3, 3]
+        ofs = np.concatenate([[0], np.cumsum([nb * d for d in dims])])
+        body = [
+            kt[:, int(o0):int(o1)].reshape(N, nb, d)
+            for o0, o1, d in zip(ofs[:-1], ofs[1:], dims)
+        ]
+        s0 = int(ofs[-1])
+        kin = KinematicsOut(
+            body_pos=body[0], body_quat=body[1], body_linvel=body[2],
+            body_angvel=body[3], dof_axis_w=body[4], dof_origin_w=body[5],
+            site_pos=kt[:, s0:s0 + nsite * 3].reshape(N, nsite, 3),
+            site_quat=kt[:, s0 + nsite * 3:].reshape(N, nsite, 4),
+        )
+        return qo, qdo, boxo, cfo.reshape(N, nb, 3), bfo, kin
 
     return control_step

@@ -63,6 +63,18 @@ def run_both(phys, ctrl, state, targets, spawn):
     return ref_state, ref_info, out
 
 
+def assert_kin_parity(phys, ref_state, spawn, kin):
+    """The kernel's in-kernel final FK must match vmapped engine FK."""
+    ref_kin = jax.vmap(phys.fk)(ref_state.q, ref_state.qd, spawn)
+    for field in ("body_pos", "body_quat", "body_linvel", "body_angvel",
+                  "dof_axis_w", "dof_origin_w", "site_pos", "site_quat"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(kin, field)),
+            np.asarray(getattr(ref_kin, field)),
+            atol=5e-3, err_msg=field,
+        )
+
+
 class TestPallasParity:
     def test_free_dynamics_parity(self, phys, ctrl):
         rng = np.random.default_rng(0)
@@ -80,7 +92,7 @@ class TestPallasParity:
         targets = jnp.asarray(
             np.clip(q0 + 0.1, 0, 1.3).astype(np.float32)
         )
-        ref_state, _, (q, qd, box, cf, bf) = run_both(
+        ref_state, _, (q, qd, box, cf, bf, kin) = run_both(
             phys, ctrl, state, targets, spawn
         )
         # tolerances reflect Mosaic-vs-XLA f32 op-ordering amplified by the
@@ -93,6 +105,7 @@ class TestPallasParity:
         np.testing.assert_allclose(
             np.asarray(box[:, :3]), np.asarray(ref_state.box_pos), atol=1e-6
         )
+        assert_kin_parity(phys, ref_state, spawn, kin)
 
     def test_contact_parity(self, phys, ctrl):
         # box resting on the ground directly under descending fingers
@@ -101,7 +114,7 @@ class TestPallasParity:
         )
         spawn = jnp.tile(jnp.array([[0.0, 0.0, 0.075]], dtype=jnp.float32), (N, 1))
         targets = jnp.zeros((N, NUM_DOFS)).at[:, 2].set(-0.02)
-        ref_state, ref_info, (q, qd, box, cf, bf) = run_both(
+        ref_state, ref_info, (q, qd, box, cf, bf, kin) = run_both(
             phys, ctrl, state, targets, spawn
         )
         np.testing.assert_allclose(np.asarray(q), np.asarray(ref_state.q),
@@ -117,3 +130,4 @@ class TestPallasParity:
             np.asarray(cf), np.asarray(ref_info.body_contact_force),
             atol=0.1, rtol=0.1,
         )
+        assert_kin_parity(phys, ref_state, spawn, kin)
