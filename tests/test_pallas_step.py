@@ -63,9 +63,14 @@ def run_both(phys, ctrl, state, targets, spawn):
     return ref_state, ref_info, out
 
 
-def assert_kin_parity(phys, ref_state, spawn, kin):
-    """The kernel's in-kernel final FK must match vmapped engine FK."""
-    ref_kin = jax.vmap(phys.fk)(ref_state.q, ref_state.qd, spawn)
+def assert_kin_parity(phys, q, qd, spawn, kin):
+    """The kernel's in-kernel final FK must match vmapped engine FK.
+
+    Compares against engine FK on the KERNEL's own final (q, qd) — not the
+    reference engine's — so this isolates the FK implementation from the
+    dynamics drift already budgeted for by the q/qd tolerances above.
+    """
+    ref_kin = jax.vmap(phys.fk)(jnp.asarray(q), jnp.asarray(qd), spawn)
     for field in ("body_pos", "body_quat", "body_linvel", "body_angvel",
                   "dof_axis_w", "dof_origin_w", "site_pos", "site_quat"):
         np.testing.assert_allclose(
@@ -105,7 +110,7 @@ class TestPallasParity:
         np.testing.assert_allclose(
             np.asarray(box[:, :3]), np.asarray(ref_state.box_pos), atol=1e-6
         )
-        assert_kin_parity(phys, ref_state, spawn, kin)
+        assert_kin_parity(phys, q, qd, spawn, kin)
 
     def test_contact_parity(self, phys, ctrl):
         # box resting on the ground directly under descending fingers
@@ -130,4 +135,4 @@ class TestPallasParity:
             np.asarray(cf), np.asarray(ref_info.body_contact_force),
             atol=0.1, rtol=0.1,
         )
-        assert_kin_parity(phys, ref_state, spawn, kin)
+        assert_kin_parity(phys, q, qd, spawn, kin)
