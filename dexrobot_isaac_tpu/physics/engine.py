@@ -72,6 +72,132 @@ def _skew(v: jnp.ndarray) -> jnp.ndarray:
     return m.reshape(m.shape[:-1] + (3, 3))
 
 
+# ----------------------------------------------------------------------
+# build-time apparent contact inertia (pure numpy: runs in __init__ and
+# must not touch any jax backend -- see the tunnel note below)
+# ----------------------------------------------------------------------
+def _np_quat_to_rotmat(qv: np.ndarray) -> np.ndarray:
+    x, y, z, w = qv
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_axis_angle_rotmat(axis: np.ndarray, th: float) -> np.ndarray:
+    a = axis / (np.linalg.norm(axis) + 1e-12)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def compute_sphere_apparent_mass(model: HandModel) -> np.ndarray:
+    """Per-collision-sphere apparent (operational-space) mass, numpy.
+
+    The impulse clamp in the contact model bounds each contact force by the
+    impulse that stops the approach velocity in one substep. Using the bare
+    link mass there (~12 g fingertips) caps fingertip forces at ~0.2 N --
+    less than a 0.1 kg object's weight -- so objects sink through and slide
+    out of any grasp. The mechanically correct bound is the apparent mass at
+    the contact point through the articulated chain, 1/max-eig(J M^-1 J^T),
+    which the joint armature (0.002 kg m^2 at ~2 cm lever arms) pushes to
+    kilograms. Evaluated at a spread of postures; per-sphere minimum is used
+    (conservative = stable). Pure numpy so construction never touches a jax
+    backend (remote-TPU tunnel safety).
+    """
+    B = model.num_bodies
+    poses = [np.zeros(26)]
+    flexed = np.zeros(26)
+    flexed[6] = 1.0          # thumb rotation
+    for f in range(5):
+        flexed[6 + 4 * f + 1: 6 + 4 * f + 4] = 0.8
+    poses.append(flexed)
+    curled = np.zeros(26)
+    curled[6] = 1.8
+    for f in range(5):
+        curled[6 + 4 * f + 1: 6 + 4 * f + 4] = 1.25
+    poses.append(curled)
+
+    anc = np.zeros((B, B))
+    for b in range(B):
+        j = b
+        while j >= 0:
+            anc[j, b] = 1.0
+            j = int(model.parent[j])
+
+    m_app = np.full(len(model.sphere_body), np.inf)
+    for q in poses:
+        pos = np.zeros((B, 3))
+        rot = np.zeros((B, 3, 3))
+        axis_w = np.zeros((B, 3))
+        origin_w = np.zeros((B, 3))
+        for i in range(B):
+            pidx = int(model.parent[i])
+            if pidx < 0:
+                pp, Rp = np.zeros(3), np.eye(3)
+            else:
+                pp, Rp = pos[pidx], rot[pidx]
+            o = pp + Rp @ model.attach_pos[i]
+            Rj = Rp @ _np_quat_to_rotmat(model.attach_quat[i])
+            a_w = Rj @ model.axis[i]
+            if model.joint_type[i] == PRISMATIC:
+                bp, Rb = o + a_w * q[i], Rj
+            else:
+                bp = o
+                Rb = Rj @ _np_axis_angle_rotmat(model.axis[i], q[i])
+            Rb = Rb @ _np_quat_to_rotmat(model.post_quat[i])
+            pos[i], rot[i] = bp, Rb
+            axis_w[i], origin_w[i] = a_w, o
+
+        # CRBA about world origin (numpy mirror of HandPhysics.mass_matrix)
+        prism = model.joint_type == PRISMATIC
+        S = np.zeros((B, 6))
+        S[:, :3] = np.where(prism[:, None], 0.0, axis_w)
+        S[:, 3:] = np.where(
+            prism[:, None], axis_w, np.cross(origin_w, axis_w)
+        )
+        com_w = pos + np.einsum("bij,bj->bi", rot, model.com)
+        i_c = np.einsum("bij,bjk,blk->bil", rot, model.inertia, rot)
+        i_o = np.zeros((B, 6, 6))
+        for i in range(B):
+            cx = np.array([
+                [0, -com_w[i, 2], com_w[i, 1]],
+                [com_w[i, 2], 0, -com_w[i, 0]],
+                [-com_w[i, 1], com_w[i, 0], 0],
+            ])
+            mm = model.mass[i]
+            i_o[i, :3, :3] = i_c[i] - mm * cx @ cx
+            i_o[i, :3, 3:] = mm * cx
+            i_o[i, 3:, :3] = -mm * cx
+            i_o[i, 3:, 3:] = mm * np.eye(3)
+        ic = i_o.copy()
+        for i in reversed(range(B)):
+            pidx = int(model.parent[i])
+            if pidx >= 0:
+                ic[pidx] += ic[i]
+        f = np.einsum("bij,bj->bi", ic, S)
+        raw = S @ f.T
+        am = raw * anc
+        M = am + am.T - np.diag(np.diag(raw)) + np.diag(model.armature)
+
+        sb = np.asarray(model.sphere_body)
+        sp = pos[sb] + np.einsum("bij,bj->bi", rot[sb], model.sphere_pos)
+        Minv = np.linalg.inv(M)
+        for c in range(len(sb)):
+            J = np.zeros((3, B))
+            for j in range(B):
+                if not anc[j, sb[c]]:
+                    continue
+                if prism[j]:
+                    J[:, j] = axis_w[j]
+                else:
+                    J[:, j] = np.cross(axis_w[j], sp[c] - origin_w[j])
+            W = J @ Minv @ J.T
+            lam = float(np.linalg.eigvalsh(W)[-1])
+            m_app[c] = min(m_app[c], 1.0 / max(lam, 1e-9))
+    return np.maximum(m_app, np.maximum(model.mass[model.sphere_body], 0.01))
+
+
 class HandPhysics:
     """Precomputes static model arrays and exposes pure jax step functions.
 
@@ -121,8 +247,10 @@ class HandPhysics:
         self._sphere_pos = f32(m.sphere_pos)
         self._sphere_radius = f32(m.sphere_radius)
         # effective mass per collision sphere for the impulse clamp: the
-        # attached body's mass (floored for very light links)
-        self._sphere_meff = f32(np.maximum(m.mass[m.sphere_body], 0.01))
+        # apparent mass at the contact point through the articulated chain
+        # (armature-dominated, ~kg) -- NOT the bare link mass, which would
+        # cap fingertip forces below a 0.1 kg object's weight
+        self._sphere_meff = f32(compute_sphere_apparent_mass(m))
         self._site_body = np.asarray(m.site_body)
         self._site_pos = f32(m.site_pos)
         self._site_quat = f32(m.site_quat)
@@ -230,7 +358,7 @@ class HandPhysics:
     # ------------------------------------------------------------------
     # contacts
     # ------------------------------------------------------------------
-    def _penalty_force(self, depth, normal, rel_vel, mu, m_eff):
+    def _penalty_force(self, depth, normal, rel_vel, mu, m_eff, m_t=None):
         """Compliant contact force on the first body; depth>0 means contact.
 
         The spring-damper force is clamped by the impulse that would stop the
@@ -239,9 +367,21 @@ class HandPhysics:
         This keeps arbitrarily stiff contacts unconditionally stable under
         explicit integration -- the role PhysX's solver iterations play in the
         reference's physics presets (cfg/physics/default.yaml:7-9).
+
+        `rel_vel` must be the PREDICTED relative velocity of the coming
+        substep (current value plus the unconstrained-force increment, e.g.
+        the other body's gravity kick). Computing the impulse bound against
+        the predicted velocity is what lets the clamp express STATIC contact:
+        at rest the friction impulse exactly cancels the gravity increment
+        instead of lagging it, so a grasped object hangs instead of creeping
+        through the fingers. `m_t` optionally overrides the effective mass
+        for the tangential (friction) bound, whose lever arm differs from the
+        normal's.
         """
         p = self.params
         h = self.substep_dt
+        if m_t is None:
+            m_t = m_eff
         active = (depth > 0.0).astype(normal.dtype)
         vn = jnp.sum(rel_vel * normal, axis=-1)
         fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
@@ -254,7 +394,7 @@ class HandPhysics:
         vt_norm = jnp.linalg.norm(vt, axis=-1)
         ft_mag = jnp.minimum(
             jnp.minimum(p.friction_stiffness * vt_norm, mu * fn_mag),
-            m_eff / h * vt_norm,
+            m_t / h * vt_norm,
         )
         ft = -vt / (vt_norm[..., None] + 1e-6) * ft_mag[..., None]
         return fn_mag[..., None] * normal + ft
@@ -314,16 +454,44 @@ class HandPhysics:
                 state.box_angvel, p_c - state.box_pos
             )
             rel = sv - v_boxpt
+            # predicted relative velocity: the box gains gravity's velocity
+            # increment this substep; folding it in lets the impulse bound
+            # express static support/friction (see _penalty_force docstring)
+            g_kick = jnp.array(
+                [0.0, 0.0, p.gravity * self.substep_dt], dtype=sp.dtype
+            )
+            rel_pred = rel - g_kick
             mu_hb = 0.5 * (p.hand_friction + p.box_friction) * dr.friction_scale
             # contact effective mass including the box's rotational response
             # (the sequential-impulse "normal mass"); without the |r x n|^2/I
-            # term a light box picks up unbounded spin from offset impacts
+            # term a light box picks up unbounded spin from offset impacts.
+            # The box's linear inverse mass is shared across the contacts
+            # active this substep (same role as the /4 for ground corners):
+            # otherwise n simultaneous contacts deliver n times the stopping
+            # impulse and the box rattles out of a multi-finger grasp.
             r_c = p_c - state.box_pos
             box_mass = p.box_mass * dr.box_mass_scale
             box_inertia = self._box_inertia * dr.box_mass_scale
-            ang_term = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
-            m_red = 1.0 / (1.0 / self._sphere_meff + 1.0 / box_mass + ang_term)
-            f_box = self._penalty_force(depth_b, n_world, rel, mu_hb, m_red)
+            share = jnp.maximum(
+                jnp.sum((depth_b > 0.0).astype(sp.dtype)), 1.0
+            )
+            ang_n = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
+            m_red_n = 1.0 / (
+                1.0 / self._sphere_meff + share / box_mass + ang_n
+            )
+            # friction's lever arm is along the (predicted) slip tangent
+            vn_p = jnp.sum(rel_pred * n_world, axis=-1)
+            vt_p = rel_pred - vn_p[:, None] * n_world
+            t_hat = vt_p / (
+                jnp.linalg.norm(vt_p, axis=-1, keepdims=True) + 1e-9
+            )
+            ang_t = jnp.sum(jnp.cross(r_c, t_hat) ** 2, axis=-1) / box_inertia
+            m_red_t = 1.0 / (
+                1.0 / self._sphere_meff + share / box_mass + ang_t
+            )
+            f_box = self._penalty_force(
+                depth_b, n_world, rel_pred, mu_hb, m_red_n, m_red_t
+            )
             sphere_force = sphere_force + f_box
             react = -f_box
             box_force = jnp.sum(react, axis=0)
@@ -345,9 +513,14 @@ class HandPhysics:
             n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
             r_c8 = corners_w - state.box_pos
             ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / box_inertia if p.has_box else 0.0
-            # linear part /4: a resting box loads ~4 corners simultaneously
+            # linear part /4: a resting box loads ~4 corners simultaneously.
+            # Corner velocity is gravity-predicted for the same static-support
+            # reason as above (box is the FIRST body here, so the kick adds).
             m_corner = 1.0 / (4.0 / box_mass + ang8)
-            f_c = self._penalty_force(-corners_w[:, 2], n_up8, vc, mu_bg, m_corner)
+            vc_pred = vc + g_kick
+            f_c = self._penalty_force(
+                -corners_w[:, 2], n_up8, vc_pred, mu_bg, m_corner
+            )
             box_plane_force = jnp.sum(f_c, axis=0)
             box_force = box_force + box_plane_force
             box_torque = box_torque + jnp.sum(

@@ -153,7 +153,9 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     sb = [int(x) for x in m.sphere_body]
     spos_c = m.sphere_pos.astype(np.float32)
     srad_c = m.sphere_radius.astype(np.float32)
-    smeff_c = np.maximum(m.mass[m.sphere_body], 0.01).astype(np.float32)
+    # apparent (operational-space) contact masses -- must match the jnp
+    # engine's clamp masses exactly for kernel parity
+    smeff_c = np.asarray(engine._sphere_meff, dtype=np.float32)
     ns = len(sb)
     site_b = [int(x) for x in m.site_body]
     sitep_c = m.site_pos.astype(np.float32)
@@ -197,8 +199,12 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     half = float(p.box_size / 2.0)
     gz = float(p.gravity)
 
-    def contact_force(depth, n3, rel3, mu, m_eff):
-        """Mirrors HandPhysics._penalty_force for one contact, lane math."""
+    def contact_force(depth, n3, rel3, mu, m_eff, m_t=None):
+        """Mirrors HandPhysics._penalty_force for one contact, lane math.
+        rel3 is the PREDICTED relative velocity (gravity kick folded in by
+        the caller); m_t optionally overrides the tangential clamp mass."""
+        if m_t is None:
+            m_t = m_eff
         active = (depth > 0.0).astype(depth.dtype)
         vn = _dot(rel3, n3)
         fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
@@ -211,7 +217,7 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         vt_n = jnp.sqrt(_dot(vt, vt) + 1e-12)
         ft = jnp.minimum(
             jnp.minimum(p.friction_stiffness * vt_n, mu * fn),
-            m_eff / h * vt_n,
+            m_t / h * vt_n,
         )
         fvec = _add(_scale(n3, fn), _scale(vt, -ft / (vt_n + 1e-6)))
         return fvec
@@ -278,6 +284,26 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             bang = (box[10], box[11], box[12])
             box_mass = p.box_mass * bm_s
             box_in = box_inertia * bm_s
+            # pre-pass: count active sphere-box contacts so the box's linear
+            # inverse mass can be shared across them (mirrors the engine's
+            # `share`); recomputes only the cheap distance math
+            n_act = zero
+            for s in range(ns):
+                b = sb[s]
+                sp_l = tuple(float(spos_c[s][k]) for k in range(3))
+                sp = _add(pos[b], _qrot(quat[b], sp_l))
+                loc = _qrot_inv(bquat, _sub(sp, bpos))
+                cl = tuple(jnp.clip(x, -half, half) for x in loc)
+                d = _sub(loc, cl)
+                dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                gap_min = jnp.minimum(
+                    jnp.minimum(half - jnp.abs(loc[0]), half - jnp.abs(loc[1])),
+                    half - jnp.abs(loc[2]),
+                )
+                r = float(srad_c[s])
+                depth_b = jnp.where(dist > 1e-9, r - dist, r + gap_min)
+                n_act = n_act + (depth_b > 0.0).astype(depth_b.dtype)
+            share = jnp.maximum(n_act, 1.0)
         for s in range(ns):
             b = sb[s]
             sp_l = tuple(float(spos_c[s][k]) for k in range(3))
@@ -322,10 +348,21 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                 r_c = _sub(p_c, bpos)
                 v_bp = _add(blin, _cross(bang, r_c))
                 rel = _sub(sv, v_bp)
+                # predicted relative velocity: fold in the box's gravity kick
+                # (rel = sphere - box, so the kick subtracts)
+                rel_pred = (rel[0], rel[1], rel[2] - gz * h)
                 rxn = _cross(r_c, nw)
-                ang_t = _dot(rxn, rxn) / box_in
-                m_red = 1.0 / (1.0 / m_eff + 1.0 / box_mass + ang_t)
-                fb = contact_force(depth_b, nw, rel, mu_hb * fr_s, m_red)
+                ang_n = _dot(rxn, rxn) / box_in
+                m_red_n = 1.0 / (1.0 / m_eff + share / box_mass + ang_n)
+                vn_p = _dot(rel_pred, nw)
+                vt_p = _sub(rel_pred, _scale(nw, vn_p))
+                vt_p_n = jnp.sqrt(_dot(vt_p, vt_p) + 1e-18)
+                t_hat = _scale(vt_p, 1.0 / (vt_p_n + 1e-9))
+                rxt = _cross(r_c, t_hat)
+                ang_tan = _dot(rxt, rxt) / box_in
+                m_red_t = 1.0 / (1.0 / m_eff + share / box_mass + ang_tan)
+                fb = contact_force(depth_b, nw, rel_pred, mu_hb * fr_s,
+                                   m_red_n, m_red_t)
                 f = _add(f, fb)
                 react = _scale(fb, -1.0)
                 box_f = _add(box_f, react)
@@ -346,7 +383,10 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                         n3 = (zero, zero, zero + 1.0)
                         ang8 = _dot(_cross(r_c, n3), _cross(r_c, n3)) / box_in
                         m_c = 1.0 / (4.0 / box_mass + ang8)
-                        fc = contact_force(-cw[2], n3, vc, mu_bg * fr_s, m_c)
+                        # box is the first body here: its gravity kick adds
+                        vc_pred = (vc[0], vc[1], vc[2] + gz * h)
+                        fc = contact_force(-cw[2], n3, vc_pred, mu_bg * fr_s,
+                                           m_c)
                         box_f = _add(box_f, fc)
                         box_t = _add(box_t, _cross(r_c, fc))
 
