@@ -187,3 +187,92 @@ class TestBox:
         state, _ = bphys.step(state, targets, spawn)
         # env 1's box (higher) is still falling from a different height
         assert float(state.box_pos[1, 2]) > float(state.box_pos[0, 2])
+
+
+class TestGrasp:
+    """Static-friction grasp capability: a pinched box must hang and ride a
+    lifting hand. Guards the apparent-contact-mass + predicted-velocity
+    impulse-bound contact model (engine.py compute_sphere_apparent_mass /
+    _penalty_force) -- with bare link masses the fingertip force cap was
+    ~0.2 N and this scenario is physically impossible (the failure mode
+    behind zero BlindGrasping lift successes)."""
+
+    @pytest.fixture(scope="class")
+    def gphys(self):
+        return HandPhysics(
+            params=SimParams(dt=0.01, substeps=4, has_box=True,
+                             box_size=0.05, box_mass=0.1)
+        )
+
+    def test_pinch_hang_and_lift(self, gphys):
+        import dexrobot_isaac_tpu.ops.quat as qm
+
+        spawn = jnp.array([[0.0, 0.0, 0.25]], dtype=jnp.float32)
+        grip = np.zeros(NUM_DOFS, dtype=np.float32)
+        grip[DOF_INDEX["r_f_joint1_1"]] = np.pi / 3
+        for f in [2, 3]:
+            for j in [2, 3, 4]:
+                grip[DOF_INDEX[f"r_f_joint{f}_{j}"]] = 1.2
+        for j in [2, 3, 4]:
+            grip[DOF_INDEX[f"r_f_joint1_{j}"]] = 0.6
+
+        st0 = PhysicsState(
+            q=jnp.asarray(grip)[None], qd=jnp.zeros((1, NUM_DOFS)),
+            box_pos=jnp.zeros((1, 3)), box_quat=jnp.array([[0.0, 0, 0, 1]]),
+            box_linvel=jnp.zeros((1, 3)), box_angvel=jnp.zeros((1, 3)),
+        )
+        kin = gphys.kinematics(st0, spawn)
+        sb = gphys._sphere_body
+        sp = np.asarray(
+            kin.body_pos[0, sb]
+            + qm.quat_rotate(kin.body_quat[0, sb],
+                             jnp.asarray(gphys._sphere_pos))
+        )
+        r = np.asarray(gphys._sphere_radius)
+        thumb, fingers = sp[4], 0.5 * (sp[10] + sp[16])
+        d = fingers - thumb
+        gap = np.linalg.norm(d)
+        d_hat = d / gap
+        need = 0.05 + r[4] + 0.5 * (r[10] + r[16]) - 2 * 0.0015
+        assert abs(gap - need) < 0.004, (
+            f"grip pose drifted: pinch gap {gap*1000:.1f}mm vs {need*1000:.1f}mm"
+        )
+        # orient the box with one face axis along the 3D pinch direction
+        ex = np.array([1.0, 0.0, 0.0])
+        axis = np.cross(ex, d_hat)
+        s, c = np.linalg.norm(axis), float(np.dot(ex, d_hat))
+        th = np.arctan2(s, c)
+        bq = np.concatenate(
+            [axis / s * np.sin(th / 2), [np.cos(th / 2)]]
+        ).astype(np.float32)
+        center = 0.5 * (thumb + fingers)
+
+        state = PhysicsState(
+            q=st0.q, qd=st0.qd,
+            box_pos=jnp.asarray(center, dtype=jnp.float32)[None],
+            box_quat=jnp.asarray(bq)[None],
+            box_linvel=jnp.zeros((1, 3)), box_angvel=jnp.zeros((1, 3)),
+        )
+        targets = jnp.asarray(grip)[None]
+        z0 = float(state.box_pos[0, 2])
+        assert z0 > 0.1, "box must hang clear of the ground"
+
+        for _ in range(100):  # settle 1 s
+            state, _ = gphys.step(state, targets, spawn)
+        z_settle = float(state.box_pos[0, 2])
+        assert z0 - z_settle < 0.02, (
+            f"box fell out of the static pinch: {z0:.3f} -> {z_settle:.3f}"
+        )
+
+        lift = 0.15
+        for i in range(150):  # raise base 15 cm over 1.5 s
+            t2 = targets.at[0, DOF_INDEX["ARTz"]].set(lift * (i + 1) / 150)
+            state, _ = gphys.step(state, t2, spawn)
+        t2 = targets.at[0, DOF_INDEX["ARTz"]].set(lift)
+        for _ in range(100):  # hold 1 s
+            state, _ = gphys.step(state, t2, spawn)
+        z_end = float(state.box_pos[0, 2])
+        assert z_end > z0 + lift - 0.03, (
+            f"box did not ride the lift: start {z0:.3f}, end {z_end:.3f}, "
+            f"hand rose {lift}"
+        )
