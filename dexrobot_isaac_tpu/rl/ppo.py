@@ -48,6 +48,12 @@ class PPOConfig:
     tau: float = 0.95
     learning_rate: float = 3e-4
     lr_schedule: str = "adaptive"          # adaptive | fixed
+    # When adaptive, WHERE the LR is adjusted (rl_games a2c_common.train_epoch):
+    #   "standard"      - after each mini-epoch, on that epoch's mean KL
+    #                     (reference default: cfg/train/BaseTaskPPO.yaml:55)
+    #   "legacy"        - after every minibatch, on that minibatch's KL
+    #   "per_iteration" - once per train iteration on the final epoch's mean KL
+    schedule_type: str = "standard"
     kl_threshold: float = 0.008
     e_clip: float = 0.2
     grad_norm: float = 1.0
@@ -296,6 +302,8 @@ class PPOLearner:
         )
         ppo_params = optax.apply_updates(ppo_params, updates)
         kl = self._pmean(_policy_kl(mu, sigma, mu_old, sigma_old))
+        if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "legacy":
+            lr = self._adapt_lr(lr, kl)
         return (ppo_params, opt_state, lr, obs_rms, value_rms, kl_sum + kl), kl
 
     def _train_iteration(self, ppo: PPOState, env_state, obs):
@@ -370,7 +378,10 @@ class PPOLearner:
                 (params, opt_state, lr, obs_rms, value_rms, jnp.asarray(0.0)),
                 mb_data,
             )
-            return (params, opt_state, lr, kl_sum / n_mb), None
+            kl_avg = kl_sum / n_mb
+            if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "standard":
+                lr = self._adapt_lr(lr, kl_avg)
+            return (params, opt_state, lr, kl_avg), None
 
         epoch_keys = jax.random.split(perm_key, cfg.mini_epochs)
         (params, opt_state, lr, kl), _ = jax.lax.scan(
@@ -379,10 +390,8 @@ class PPOLearner:
             epoch_keys,
         )
 
-        if cfg.lr_schedule == "adaptive":
-            lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
-            lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
-            lr = jnp.clip(lr, 1e-6, 1e-2)
+        if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "per_iteration":
+            lr = self._adapt_lr(lr, kl)
 
         new_ppo = PPOState(
             params=params,
@@ -404,6 +413,13 @@ class PPOLearner:
             ),
         }
         return new_ppo, env_state, obs, metrics, roll_extras
+
+    def _adapt_lr(self, lr, kl):
+        """rl_games AdaptiveScheduler.update: +/-1.5x on KL vs threshold."""
+        cfg = self.cfg
+        lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
+        lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
+        return jnp.clip(lr, 1e-6, 1e-2)
 
     def _batch_moments(self, batch):
         """Per-batch mean/var/count with cross-shard reduction when sharded."""

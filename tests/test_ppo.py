@@ -85,6 +85,55 @@ class TestPPO:
             lrs.add(round(float(st.lr), 8))
         assert len(lrs) > 1, "adaptive LR should adjust within 10 epochs"
 
+    @pytest.mark.parametrize("schedule_type", ["standard", "legacy", "per_iteration"])
+    def test_schedule_types_run_and_adapt(self, schedule_type):
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), schedule_type=schedule_type,
+        )
+        lrn = PPOLearner(cfg, toy_env_step, seed=0)
+        st = lrn.init_state()
+        key = jax.random.key(4)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        lrs = []
+        for _ in range(10):
+            st, env_state, obs, metrics, _ = lrn.train_iteration(
+                st, env_state, obs
+            )
+            lrs.append(float(st.lr))
+        assert all(1e-6 <= lr <= 1e-2 for lr in lrs)
+        assert len(set(round(lr, 10) for lr in lrs)) > 1, (
+            f"{schedule_type}: adaptive LR never moved in 10 epochs"
+        )
+
+    def test_legacy_schedule_adapts_fastest(self):
+        """Per-minibatch ('legacy') adaptation can move the LR further in one
+        iteration than per-mini-epoch ('standard') or per-iteration, because
+        it applies the 1.5x step once per minibatch (here 4 minibatches x 2
+        mini-epochs = 8 steps/iter vs 2 vs 1)."""
+        def run(schedule_type):
+            cfg = PPOConfig(
+                num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+                horizon_length=8, minibatch_size=32, mini_epochs=2,
+                units=(32, 32), schedule_type=schedule_type,
+                # force every KL reading below 0.5*threshold so each
+                # adaptation step multiplies by exactly 1.5
+                kl_threshold=1e3,
+            )
+            lrn = PPOLearner(cfg, toy_env_step, seed=0)
+            st = lrn.init_state()
+            key = jax.random.key(5)
+            env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+            st, _, _, _, _ = lrn.train_iteration(st, env_state, env_state[1])
+            return float(st.lr)
+
+        lr0 = 3e-4
+        assert run("per_iteration") == pytest.approx(lr0 * 1.5, rel=1e-5)
+        assert run("standard") == pytest.approx(lr0 * 1.5**2, rel=1e-5)
+        assert run("legacy") == pytest.approx(lr0 * 1.5**8, rel=1e-5)
+
     def test_deterministic_eval_action(self, learner):
         st = learner.init_state()
         obs = jnp.ones((NUM_ENVS, NUM_OBS))

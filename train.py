@@ -102,6 +102,7 @@ def main(argv=None) -> int:
         tau=float(tp.get("tau", 0.95)),
         learning_rate=float(tp.get("learning_rate", 3e-4)),
         lr_schedule=str(tp.get("lr_schedule", "adaptive")),
+        schedule_type=str(tp.get("schedule_type", "standard")),
         kl_threshold=float(tp.get("kl_threshold", 0.008)),
         e_clip=float(tp.get("e_clip", 0.2)),
         grad_norm=float(tp.get("grad_norm", 1.0)),
