@@ -66,6 +66,7 @@ def build_sim_params(cfg: Dict[str, Any]) -> SimParams:
         ),
         ground_friction=float(sim.get("ground_friction", 1.0)),
         hand_friction=float(sim.get("hand_friction", 1.0)),
+        self_collision=bool(sim.get("self_collision", True)),
     )
 
 

@@ -198,6 +198,121 @@ def compute_sphere_apparent_mass(model: HandModel) -> np.ndarray:
     return np.maximum(m_app, np.maximum(model.mass[model.sphere_body], 0.01))
 
 
+def _np_fk_pose(model: HandModel, q: np.ndarray):
+    """Position-only numpy FK (base at origin): (body_pos (B,3), body_rot (B,3,3))."""
+    B = model.num_bodies
+    pos = np.zeros((B, 3))
+    rot = np.zeros((B, 3, 3))
+    for i in range(B):
+        pidx = int(model.parent[i])
+        if pidx < 0:
+            pp, Rp = np.zeros(3), np.eye(3)
+        else:
+            pp, Rp = pos[pidx], rot[pidx]
+        o = pp + Rp @ model.attach_pos[i]
+        Rj = Rp @ _np_quat_to_rotmat(model.attach_quat[i])
+        if model.joint_type[i] == PRISMATIC:
+            bp, Rb = o + (Rj @ model.axis[i]) * q[i], Rj
+        else:
+            bp = o
+            Rb = Rj @ _np_axis_angle_rotmat(model.axis[i], q[i])
+        pos[i] = bp
+        rot[i] = Rb @ _np_quat_to_rotmat(model.post_quat[i])
+    return pos, rot
+
+
+def sphere_finger_ids(model: HandModel) -> np.ndarray:
+    """Finger index (0..4) per collision sphere; -1 for palm/arm spheres.
+    A sphere's finger is the child-of-palm subtree its body lives in, derived
+    from the tree (finger roots are the children of `right_hand_base`)."""
+    palm = 5  # right_hand_base (constants.py body ordering)
+    fid_body = -np.ones(model.num_bodies, dtype=np.int64)
+    roots: list = []
+    for b in range(model.num_bodies):
+        j = b
+        while j >= 0 and int(model.parent[j]) != palm:
+            j = int(model.parent[j])
+        if j >= 0:
+            if j not in roots:
+                roots.append(j)
+            fid_body[b] = roots.index(j)
+    return fid_body[np.asarray(model.sphere_body)]
+
+
+def compute_self_collision_pairs(
+    model: HandModel, margin: float = 0.004
+) -> np.ndarray:
+    """Static broadphase at model-build time: the (P, 2) sphere pairs that can
+    geometrically collide, found by probing joint-limit extremes with numpy FK.
+
+    TPU-native design: a runtime broadphase is useless under lockstep SPMD
+    (every lane would still pay for every pair), so all pruning happens here,
+    once, on host. Candidates are cross-finger pairs on adjacent fingers plus
+    thumb-vs-any (non-adjacent parallel fingers are blocked by the finger
+    between them); a candidate survives if some probe pose over the two
+    fingers' abduction x flexion extremes brings it within `margin` of
+    touching. The surviving list is baked into both the jnp engine and the
+    Pallas kernel as static gather indices.
+    """
+    fid = sphere_finger_ids(model)
+    sb = np.asarray(model.sphere_body)
+    r = np.asarray(model.sphere_radius)
+    nf = int(fid.max()) + 1
+    # joints of finger f: bodies 6+4f .. 6+4f+3 (joint index == body index)
+    fingers = [list(range(6 + 4 * f, 6 + 4 * f + 4)) for f in range(nf)]
+
+    def finger_probe_qs(f: int):
+        """Representative joint vectors for finger f: abduction/rotation
+        (joint 0) at limits x flexion (joints 1-3) at graded closures.
+        Palm (f == -1) has no joints: a single empty config."""
+        if f < 0:
+            return [np.zeros(0)]
+        j0 = fingers[f][0]
+        lo, hi = model.lower_limit[j0], model.upper_limit[j0]
+        out = []
+        for abd in (lo, 0.5 * (lo + hi), hi):
+            for flex in (0.0, 0.35, 0.6, 0.8, 1.0):
+                qf = np.zeros(4)
+                qf[0] = abd
+                for k, j in enumerate(fingers[f][1:]):
+                    qf[k + 1] = (
+                        model.lower_limit[j]
+                        + flex * (model.upper_limit[j] - model.lower_limit[j])
+                    )
+                out.append(qf)
+        return out
+
+    probes = {f: finger_probe_qs(f) for f in list(range(nf)) + [-1]}
+    # candidate group pairs: every pair of distinct fingers plus each finger
+    # vs the palm (fingers curl into the palm at full flexion). Geometric
+    # impossibilities (e.g. thumb vs other fingers in this model) are removed
+    # by the probe below, not by hand-picked adjacency rules.
+    cand = [(fa, fb) for fa in range(nf) for fb in range(fa + 1, nf)]
+    cand += [(f, -1) for f in range(nf)]
+    pairs = []
+    for fa, fb in cand:
+        ia = np.nonzero(fid == fa)[0]
+        ib = np.nonzero(fid == fb)[0]
+        best = np.full((len(ia), len(ib)), np.inf)
+        for qa in probes[fa]:
+            for qb in probes[fb]:
+                q = np.zeros(model.num_bodies)
+                q[fingers[fa]] = qa
+                if fb >= 0:
+                    q[fingers[fb]] = qb
+                pos, rot = _np_fk_pose(model, q)
+                sp = pos[sb] + np.einsum(
+                    "bij,bj->bi", rot[sb], model.sphere_pos
+                )
+                d = np.linalg.norm(
+                    sp[ia][:, None, :] - sp[ib][None, :, :], axis=-1
+                )
+                best = np.minimum(best, d - (r[ia][:, None] + r[ib][None, :]))
+        for ai, bi in zip(*np.nonzero(best < margin)):
+            pairs.append((int(ia[ai]), int(ib[bi])))
+    return np.asarray(sorted(pairs), dtype=np.int64).reshape(-1, 2)
+
+
 class HandPhysics:
     """Precomputes static model arrays and exposes pure jax step functions.
 
@@ -251,6 +366,25 @@ class HandPhysics:
         # (armature-dominated, ~kg) -- NOT the bare link mass, which would
         # cap fingertip forces below a 0.1 kg object's weight
         self._sphere_meff = f32(compute_sphere_apparent_mass(m))
+        # finger-finger self-collision: statically pruned sphere pairs
+        # (reference enables intra-hand collision via actor filter 0,
+        # hand_initializer.py:386-388)
+        if self.params.self_collision:
+            sc = compute_self_collision_pairs(m)
+        else:
+            sc = np.zeros((0, 2), dtype=np.int64)
+        self._sc_i = sc[:, 0]
+        self._sc_j = sc[:, 1]
+        self._sc_rsum = f32(
+            self._sphere_radius[self._sc_i] + self._sphere_radius[self._sc_j]
+        )
+        # reduced mass of the two articulated contact points
+        self._sc_meff = f32(
+            1.0 / (
+                1.0 / self._sphere_meff[self._sc_i]
+                + 1.0 / self._sphere_meff[self._sc_j]
+            )
+        ) if len(sc) else f32(np.zeros(0))
         self._site_body = np.asarray(m.site_body)
         self._site_pos = f32(m.site_pos)
         self._site_quat = f32(m.site_quat)
@@ -420,6 +554,32 @@ class HandPhysics:
         f_plane = self._penalty_force(depth, n_up, sv, mu_hg, self._sphere_meff)
 
         sphere_force = f_plane
+
+        # --- finger-finger self-collision (statically pruned pairs) ---
+        # Resolves crossings at the joint torques reachable through the
+        # coupled action pipeline (the spread coupling fans fingers OUT, so
+        # commanded crossings are moderate-force dynamic events). Limitation
+        # vs the reference's PhysX constraint solver: a sustained full-kp
+        # drive straight into the palm equilibrates at partial sphere overlap
+        # because the impulse bound (max_depenetration_velocity, matching
+        # PhysX cfg) caps the static normal force penalty contacts can hold.
+        if len(self._sc_i):
+            si, sj = self._sc_i, self._sc_j
+            d_sc = sp[si] - sp[sj]
+            dist_sc = jnp.linalg.norm(d_sc, axis=-1)
+            n_sc = d_sc / (dist_sc[:, None] + 1e-9)     # points toward sphere i
+            rel_sc = sv[si] - sv[sj]
+            mu_hh = p.hand_friction * dr.friction_scale
+            f_sc = self._penalty_force(
+                self._sc_rsum - dist_sc, n_sc, rel_sc, mu_hh, self._sc_meff
+            )
+            n_sph = sp.shape[0]
+            sphere_force = (
+                sphere_force
+                + jax.ops.segment_sum(f_sc, si, n_sph)
+                - jax.ops.segment_sum(f_sc, sj, n_sph)
+            )
+
         box_force = jnp.zeros(3, dtype=sp.dtype)
         box_torque = jnp.zeros(3, dtype=sp.dtype)
         box_plane_force = jnp.zeros(3, dtype=sp.dtype)

@@ -12,7 +12,8 @@ gains) are baked into the unrolled kernel at trace time.
 Per substep the kernel computes, exactly mirroring HandPhysics._substep:
   FK + velocity propagation over the 26-body tree
   collision-sphere positions/velocities
-  penalty contacts (sphere-plane, sphere-box, box corners-plane) with the
+  penalty contacts (sphere-plane, sphere-sphere self-collision over the
+    build-time-pruned pair list, sphere-box, box corners-plane) with the
     sequential-impulse effective-mass clamp and depenetration cap
   gravity + contact spatial forces -> subtree sums -> generalized forces
   CRBA composite spatial inertias (10-parameter symmetric form) -> mass matrix
@@ -157,6 +158,13 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     # engine's clamp masses exactly for kernel parity
     smeff_c = np.asarray(engine._sphere_meff, dtype=np.float32)
     ns = len(sb)
+    # finger-finger self-collision pairs (statically pruned at model build;
+    # see engine.compute_self_collision_pairs) -- baked in as unrolled indices
+    sc_i = [int(x) for x in engine._sc_i]
+    sc_j = [int(x) for x in engine._sc_j]
+    sc_rsum_c = np.asarray(engine._sc_rsum, dtype=np.float32)
+    sc_meff_c = np.asarray(engine._sc_meff, dtype=np.float32)
+    n_sc = len(sc_i)
     site_b = [int(x) for x in m.site_body]
     sitep_c = m.site_pos.astype(np.float32)
     siteq_c = m.site_quat.astype(np.float32)
@@ -277,6 +285,16 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         cf = [(zero, zero, zero) for _ in range(nb)]   # reported contact force
         box_f = (zero, zero, zero)
         box_t = (zero, zero, zero)
+        # world positions/velocities of all collision spheres (shared by the
+        # plane, box, and self-collision passes below)
+        sp_all: List = [None] * ns
+        sv_all: List = [None] * ns
+        for s in range(ns):
+            b = sb[s]
+            sp_l = tuple(float(spos_c[s][k]) for k in range(3))
+            spw = _add(pos[b], _qrot(quat[b], sp_l))
+            sp_all[s] = spw
+            sv_all[s] = _add(lin[b], _cross(ang[b], _sub(spw, pos[b])))
         if p.has_box:
             bpos = (box[0], box[1], box[2])
             bquat = (box[3], box[4], box[5], box[6])
@@ -289,10 +307,7 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             # `share`); recomputes only the cheap distance math
             n_act = zero
             for s in range(ns):
-                b = sb[s]
-                sp_l = tuple(float(spos_c[s][k]) for k in range(3))
-                sp = _add(pos[b], _qrot(quat[b], sp_l))
-                loc = _qrot_inv(bquat, _sub(sp, bpos))
+                loc = _qrot_inv(bquat, _sub(sp_all[s], bpos))
                 cl = tuple(jnp.clip(x, -half, half) for x in loc)
                 d = _sub(loc, cl)
                 dist = jnp.sqrt(_dot(d, d) + 1e-18)
@@ -306,9 +321,7 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             share = jnp.maximum(n_act, 1.0)
         for s in range(ns):
             b = sb[s]
-            sp_l = tuple(float(spos_c[s][k]) for k in range(3))
-            sp = _add(pos[b], _qrot(quat[b], sp_l))
-            sv = _add(lin[b], _cross(ang[b], _sub(sp, pos[b])))
+            sp, sv = sp_all[s], sv_all[s]
             r = float(srad_c[s])
             m_eff = float(smeff_c[s])
             # sphere vs ground plane
@@ -370,6 +383,24 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             cf[b] = _add(cf[b], f)
             bF[b] = _add(bF[b], f)
             bN[b] = _add(bN[b], _cross(sp, f))
+        # finger-finger self-collision over the statically pruned pairs
+        # (mirrors engine._contacts: +f on sphere i at its center, -f on
+        # sphere j at its center; both flow into the reported body forces)
+        for k in range(n_sc):
+            si, sj = sc_i[k], sc_j[k]
+            bi, bj = sb[si], sb[sj]
+            d3 = _sub(sp_all[si], sp_all[sj])
+            dist = jnp.sqrt(_dot(d3, d3) + 1e-18)
+            n3 = _scale(d3, 1.0 / (dist + 1e-9))
+            rel = _sub(sv_all[si], sv_all[sj])
+            f = contact_force(float(sc_rsum_c[k]) - dist, n3, rel,
+                              p.hand_friction * fr_s, float(sc_meff_c[k]))
+            cf[bi] = _add(cf[bi], f)
+            bF[bi] = _add(bF[bi], f)
+            bN[bi] = _add(bN[bi], _cross(sp_all[si], f))
+            cf[bj] = _sub(cf[bj], f)
+            bF[bj] = _sub(bF[bj], f)
+            bN[bj] = _sub(bN[bj], _cross(sp_all[sj], f))
         if p.has_box:
             # box corners vs ground
             Rb = _rotmat_from_quat(bquat)

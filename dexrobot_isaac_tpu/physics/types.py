@@ -100,6 +100,12 @@ class SimParams:
     # cap on the separation velocity contacts may impart, exactly PhysX's
     # max_depenetration_velocity (reference cfg/config.yaml:33 = 0.2)
     max_depenetration_velocity: float = 0.2
+    # finger-finger self-collision (sphere-sphere narrowphase over a
+    # build-time-pruned pair list). The reference enables intra-hand
+    # collision by creating the hand actor with collision filter 0
+    # (hand_initializer.py:386-388), so PhysX resolves finger crossings;
+    # default on for parity.
+    self_collision: bool = True
     # box (free object) scene; None-like defaults used when has_box=False
     has_box: bool = False
     box_size: float = 0.05

@@ -276,3 +276,58 @@ class TestGrasp:
             f"box did not ride the lift: start {z0:.3f}, end {z_end:.3f}, "
             f"hand rose {lift}"
         )
+
+
+class TestSelfCollision:
+    """Finger-finger self-collision over the build-time-pruned sphere pairs
+    (engine.compute_self_collision_pairs). The reference gets intra-hand
+    collision from PhysX by creating the hand actor with collision filter 0
+    (hand_initializer.py:386-388); here the same behavior comes from
+    sphere-sphere penalty contacts on the statically pruned pair list."""
+
+    def _ring_pinky_gap(self, phys, q):
+        from dexrobot_isaac_tpu.physics import engine as eng
+
+        m = phys.model
+        fid = eng.sphere_finger_ids(m)
+        sb = np.asarray(m.sphere_body)
+        r = np.asarray(m.sphere_radius)
+        pos, rot = eng._np_fk_pose(m, np.asarray(q, dtype=np.float64))
+        sp = pos[sb] + np.einsum("bij,bj->bi", rot[sb], m.sphere_pos)
+        ia, ib = np.nonzero(fid == 3)[0], np.nonzero(fid == 4)[0]
+        d = np.linalg.norm(sp[ia][:, None] - sp[ib][None], axis=-1)
+        return float((d - (r[ia][:, None] + r[ib][None])).min())
+
+    def test_pair_list_sane(self):
+        from dexrobot_isaac_tpu.physics import engine as eng
+
+        m = build_hand_model()
+        pairs = eng.compute_self_collision_pairs(m)
+        fid = eng.sphere_finger_ids(m)
+        ns = len(m.sphere_body)
+        assert len(pairs) > 0
+        for i, j in pairs:
+            assert 0 <= i < ns and 0 <= j < ns and i != j
+            # never within one finger (adjacent links would always "collide")
+            assert fid[i] != fid[j] or fid[i] == -1
+
+    def test_crossed_fingers_resolve(self):
+        # ring spread to its max (0.3 rad, toward the pinky) with the pinky
+        # held at 0.1: geometrically the sphere overlap reaches ~11 mm, so
+        # without self-collision the tracked pose interpenetrates deeply
+        targets = np.zeros(NUM_DOFS, dtype=np.float32)
+        targets[DOF_INDEX["r_f_joint4_1"]] = 0.3
+        targets[DOF_INDEX["r_f_joint5_1"]] = 0.1
+        gaps = {}
+        for sc in (False, True):
+            phys = HandPhysics(
+                params=SimParams(dt=0.005, substeps=4, self_collision=sc)
+            )
+            state = make_initial_physics_state(1)
+            t = jnp.asarray(targets)[None]
+            for _ in range(120):  # 0.6 s
+                state, _ = phys.step(state, t, SPAWN)
+            assert np.isfinite(np.asarray(state.q)).all()
+            gaps[sc] = self._ring_pinky_gap(phys, np.asarray(state.q[0]))
+        assert gaps[False] < -0.008, f"expected deep overlap when off: {gaps}"
+        assert gaps[True] > -0.004, f"contact should resolve overlap: {gaps}"
