@@ -70,6 +70,7 @@ class EnvComponents:
     clip_observations: float
     clip_actions: float
     dr_ranges: Optional[Dict[str, Any]] = None   # None => DR disabled
+    initial_difficulty: float = 1.0  # curriculum start (1.0 = full ranges)
     num_obs: int = -1               # filled after first trace
 
     @property
@@ -282,7 +283,9 @@ class DexHandEnv:
         )
 
         # --- auto-reset of done envs (masked; reset_manager.py:92-190) ---
-        reset_vals = c.task.reset_task(reset_key, n, self._default_dof)
+        reset_vals = c.task.reset_task(
+            reset_key, n, self._default_dof, difficulty=state.difficulty
+        )
         done = should_reset
         m1 = done[:, None]
 
@@ -345,6 +348,7 @@ class DexHandEnv:
             task_states=task_states,
             dr=new_dr,
             rng=key,
+            difficulty=state.difficulty,
         )
 
         extras = {
@@ -368,7 +372,10 @@ class DexHandEnv:
         c = self.comps
         n = c.num_envs
         key, task_key, dr_key = jax.random.split(key, 3)
-        reset_vals = c.task.reset_task(task_key, n, self._default_dof)
+        difficulty = jnp.asarray(c.initial_difficulty, dtype=jnp.float32)
+        reset_vals = c.task.reset_task(
+            task_key, n, self._default_dof, difficulty=difficulty
+        )
 
         phys = PhysicsState(
             q=reset_vals.dof_pos,
@@ -449,6 +456,7 @@ class DexHandEnv:
                 if c.dr_ranges else DRSample.nominal(n)
             ),
             rng=key,
+            difficulty=difficulty,
         )
         return state, obs_buf
 
@@ -480,6 +488,17 @@ class DexHandEnv:
 
     def seed(self, seed: int):
         self._seed = seed
+
+    def set_difficulty(self, value: float):
+        """Set the curriculum difficulty on the wrapper's own state. External
+        training loops holding their own EnvState should instead replace the
+        `difficulty` leaf (see train.py's curriculum controller) -- same
+        shape/dtype, so no recompilation."""
+        if self.state is not None:
+            self.state = dataclasses.replace(
+                self.state,
+                difficulty=jnp.asarray(float(value), dtype=jnp.float32),
+            )
 
     # ------------------------------------------------------------------
     # semantic observation index lookup (parity: reference index-lookup API,

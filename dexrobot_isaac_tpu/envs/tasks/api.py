@@ -91,9 +91,15 @@ class DexTask:
         key: jax.Array,
         num_envs: int,
         default_dof_pos: jnp.ndarray,
+        difficulty: Optional[jnp.ndarray] = None,
     ) -> TaskReset:
         """Randomized reset values for all envs (parity: reset_task_state,
-        task_interface.py:94-118)."""
+        task_interface.py:94-118).
+
+        `difficulty` is an optional runtime scalar in [0, 1] (traced, NOT a
+        Python float) from the curriculum controller; tasks that support a
+        reset curriculum scale their randomization ranges by it. Tasks may
+        ignore it (the default)."""
         return TaskReset(
             dof_pos=jnp.tile(default_dof_pos[None], (num_envs, 1))
         )

@@ -102,6 +102,15 @@ class BlindGraspingTask(DexTask):
         )
         self.velocity_tolerance = float(qt.get("velocity_tolerance", 0.005))
 
+        # Reset curriculum (beyond-reference capability): with difficulty d,
+        # randomization amplitude = range * (min_fraction + (1-min_fraction)*d)
+        # so d=1 reproduces exact reference-parity ranges. The thumb/finger
+        # pose noise and box yaw stay at full range at every difficulty (they
+        # don't gate task solvability; the hand-pose offset does).
+        cur = c.get("curriculum", {}) or {}
+        self.curriculum_enabled = bool(cur.get("enabled", False))
+        self.curriculum_min_fraction = float(cur.get("min_range_fraction", 0.2))
+
         pp = c.get("penetration_prevention", {})
         self.geometric_penetration_factor = float(
             pp.get("geometricPenetrationFactor", 1.0)
@@ -382,9 +391,19 @@ class BlindGraspingTask(DexTask):
         return r
 
     # ------------------------------------------------------------------
-    def reset_task(self, key, num_envs, default_dof_pos) -> TaskReset:
+    def reset_task(
+        self, key, num_envs, default_dof_pos, difficulty=None
+    ) -> TaskReset:
         n = num_envs
         k_box, k_yaw, k_trans, k_rot, k_fing = jax.random.split(key, 5)
+
+        # curriculum scale on the hand-pose offset ranges (1.0 when disabled
+        # or no difficulty provided -> exact reference-parity randomization)
+        if self.curriculum_enabled and difficulty is not None:
+            mf = self.curriculum_min_fraction
+            cscale = mf + (1.0 - mf) * jnp.clip(difficulty, 0.0, 1.0)
+        else:
+            cscale = 1.0
 
         xy = (jax.random.uniform(k_box, (n, 2)) * 2 - 1) * self.box_xy_range
         box_pos = jnp.concatenate(
@@ -397,8 +416,14 @@ class BlindGraspingTask(DexTask):
         )
 
         dof = jnp.tile(default_dof_pos[None], (n, 1))
-        trans = (jax.random.uniform(k_trans, (n, 3)) * 2 - 1) * self.hand_translation_range
-        rot = (jax.random.uniform(k_rot, (n, 3)) * 2 - 1) * self.hand_rotation_range
+        trans = (
+            (jax.random.uniform(k_trans, (n, 3)) * 2 - 1)
+            * self.hand_translation_range * cscale
+        )
+        rot = (
+            (jax.random.uniform(k_rot, (n, 3)) * 2 - 1)
+            * self.hand_rotation_range * cscale
+        )
         dof = dof.at[:, 0:3].set(trans).at[:, 3:6].set(rot)
         ranges = jnp.full((20,), self.other_finger_range).at[0].set(
             self.thumb_rotation_range

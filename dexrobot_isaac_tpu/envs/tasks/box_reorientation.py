@@ -195,7 +195,11 @@ class BoxReorientationTask(DexTask):
         )
 
     # ------------------------------------------------------------------
-    def reset_task(self, key, num_envs, default_dof_pos) -> TaskReset:
+    def reset_task(
+        self, key, num_envs, default_dof_pos, difficulty=None
+    ) -> TaskReset:
+        # difficulty accepted for API uniformity; this task has no reset
+        # curriculum (its randomization ranges are already small)
         n = num_envs
         k_box, k_yaw, k_tgt, k_sign, k_trans, k_rot, k_fing = jax.random.split(
             key, 7

@@ -48,6 +48,15 @@ class EnvState:
     # per-env domain-randomization scales, resampled on reset when enabled
     dr: DRSample
     rng: jax.Array
+    # curriculum difficulty in [0, 1]: a runtime scalar consumed by
+    # task.reset_task to scale reset-randomization ranges. Carried in state
+    # (not closed over) so the host can adjust it between PPO iterations
+    # without recompiling. 1.0 = full reference-parity randomization.
+    # (Capability beyond the reference, which has no curriculum on reset
+    # ranges -- its "curriculum" is BlindGrasping's in-episode stage FSM.)
+    difficulty: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.ones((), dtype=jnp.float32)
+    )
 
     @property
     def dof_pos(self) -> jnp.ndarray:

@@ -159,6 +159,10 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         clip_observations=float(env_cfg.get("clipObservations", np.inf)),
         clip_actions=float(env_cfg.get("clipActions", np.inf)),
         dr_ranges=_parse_dr(task_cfg.get("domain_randomization")),
+        initial_difficulty=(
+            float(get_by_path(task_cfg, "curriculum.initial_difficulty", 0.0))
+            if get_by_path(task_cfg, "curriculum.enabled", False) else 1.0
+        ),
     )
     if seed is None:
         seed = int(get_by_path(cfg, "train.seed", 42))

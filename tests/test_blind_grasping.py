@@ -229,3 +229,34 @@ class TestReset:
         q = np.asarray(r.box_quat)
         np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
         np.testing.assert_allclose(q[:, :2], 0.0, atol=1e-7)  # yaw-only
+
+    def test_curriculum_scales_hand_pose_ranges(self):
+        t = BlindGraspingTask({
+            "curriculum": {"enabled": True, "min_range_fraction": 0.2},
+        })
+        zero = jnp.zeros(26, dtype=jnp.float32)
+
+        def amplitudes(difficulty):
+            r = t.reset_task(jax.random.key(0), 512, zero,
+                             difficulty=jnp.asarray(difficulty, jnp.float32))
+            dof = np.asarray(r.dof_pos)
+            return np.abs(dof[:, 0:3]).max(), np.abs(dof[:, 3:6]).max()
+
+        lo_t, lo_r = amplitudes(0.0)
+        hi_t, hi_r = amplitudes(1.0)
+        # difficulty 0 => 20% of full range; difficulty 1 => full range
+        assert lo_t <= 0.2 * t.hand_translation_range + 1e-6
+        assert lo_r <= 0.2 * t.hand_rotation_range + 1e-6
+        assert hi_t > 0.8 * t.hand_translation_range   # 512 samples fill range
+        assert hi_r > 0.8 * t.hand_rotation_range
+        # finger noise unaffected by difficulty (full range at d=0)
+        r0 = t.reset_task(jax.random.key(1), 512, zero,
+                          difficulty=jnp.asarray(0.0, jnp.float32))
+        assert np.asarray(r0.dof_pos)[:, 6].max() > 0.8 * t.thumb_rotation_range
+
+    def test_curriculum_disabled_ignores_difficulty(self, task):
+        zero = jnp.zeros(26, dtype=jnp.float32)
+        r = task.reset_task(jax.random.key(0), 512, zero,
+                            difficulty=jnp.asarray(0.0, jnp.float32))
+        dof = np.asarray(r.dof_pos)
+        assert np.abs(dof[:, 0:3]).max() > 0.8 * task.hand_translation_range

@@ -166,3 +166,32 @@ class TestAsymmetricObservations:
 
     def test_symmetric_default(self, env):
         assert env.num_states == 0
+
+
+class TestCurriculum:
+    """Difficulty is a runtime EnvState scalar: changing it between steps
+    must neither recompile nor change any shape (envs/types.py)."""
+
+    def test_difficulty_threads_through_step(self, genv):
+        genv.reset()
+        # genv has no curriculum block -> difficulty defaults to 1.0
+        assert float(genv.state.difficulty) == 1.0
+        genv.step(jnp.zeros((2, 18)))
+        n_compiles = genv._step_jit._cache_size()
+        genv.set_difficulty(0.3)
+        assert float(genv.state.difficulty) == pytest.approx(0.3)
+        genv.step(jnp.zeros((2, 18)))
+        # difficulty persists through the jitted step
+        assert float(genv.state.difficulty) == pytest.approx(0.3)
+        # changing the runtime scalar must NOT retrace/recompile the step
+        assert genv._step_jit._cache_size() == n_compiles
+        genv.set_difficulty(1.0)  # restore for other module-scoped tests
+
+    def test_curriculum_initial_difficulty_from_config(self):
+        cfg = load_config([
+            "task=BlindGrasping", "numEnvs=2",
+            "task.curriculum.enabled=true",
+            "task.curriculum.initial_difficulty=0.25",
+        ])
+        env2 = make_env(cfg)
+        assert env2.comps.initial_difficulty == pytest.approx(0.25)

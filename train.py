@@ -196,6 +196,23 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     window_t, window_it = t_start, 0
     steps_per_iter = learner.cfg.horizon_length * env.num_envs
 
+    # curriculum controller (beyond-reference capability): promote the reset
+    # randomization difficulty when the windowed success rate clears the
+    # threshold. The difficulty is a runtime scalar leaf of EnvState, so
+    # promotion is a host-side leaf replacement -- no recompilation.
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    cur_cfg = get_by_path(cfg, "task.curriculum", {}) or {}
+    cur_enabled = bool(cur_cfg.get("enabled", False))
+    difficulty = (
+        float(cur_cfg.get("initial_difficulty", 0.0)) if cur_enabled else 1.0
+    )
+    cur_inc = float(cur_cfg.get("increment", 0.15))
+    cur_thresh = float(cur_cfg.get("promote_success_rate", 0.3))
+    cur_min_episodes = int(cur_cfg.get("min_episodes", 500))
+    cur_succ = cur_done = 0
+
     # profiling (reference exposes only Isaac's overlay; here a real trace):
     # train.profile=N captures a jax profiler trace of iterations 2..2+N
     profile_iters = int(get_by_path(cfg, "train.profile", 0) or 0)
@@ -220,13 +237,38 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
             logger.info(
                 f"iter {it}/{max_iters} reward {m['reward_mean']:+.3f} "
                 f"kl {m['kl']:.4f} lr {m['lr']:.2e} | {sps:,.0f} env-steps/s"
+                + (f" | difficulty {difficulty:.2f}" if cur_enabled else "")
             )
             if writer:
                 step = it * steps_per_iter
                 for k, v in m.items():
                     writer.add_scalar(f"training/{k}", v, step)
                 writer.add_scalar("performance/env_steps_per_s", sps, step)
-            observer.process_rollout(jax.device_get(roll_extras))
+                if cur_enabled:
+                    writer.add_scalar("training/difficulty", difficulty, step)
+            extras_h = jax.device_get(roll_extras)
+            observer.process_rollout(extras_h)
+
+            if cur_enabled and difficulty < 1.0:
+                cur_succ += int(np.asarray(extras_h["success"]).sum())
+                cur_done += int(
+                    np.asarray(extras_h["success"]).sum()
+                    + np.asarray(extras_h["failure"]).sum()
+                    + np.asarray(extras_h["timeout"]).sum()
+                )
+                if cur_done >= cur_min_episodes:
+                    rate = cur_succ / cur_done
+                    if rate >= cur_thresh:
+                        difficulty = min(1.0, difficulty + cur_inc)
+                        env_state = _dc.replace(
+                            env_state,
+                            difficulty=jnp.asarray(difficulty, jnp.float32),
+                        )
+                        logger.info(
+                            f"Curriculum: success rate {rate:.2f} over "
+                            f"{cur_done} episodes -> difficulty {difficulty:.2f}"
+                        )
+                    cur_succ = cur_done = 0
 
             if m["reward_mean"] > best_reward and it >= int(
                 get_by_path(cfg, "train.params.config.save_best_after", 1)
