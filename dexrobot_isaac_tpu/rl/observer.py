@@ -7,16 +7,32 @@ finish logs 5-level TensorBoard keys
     reward_breakdown/<all|success|failure|timeout>/<raw|weighted>/<episode|step>/<name>
 
 plus `training/termination_rates/*`, windowed every `log_interval` finished
-episodes. Operates on host numpy over the stacked (T, N) rollout extras the
-jitted train iteration returns.
+episodes.
+
+Two consumption paths:
+
+- `process_rollout`: host numpy over the full stacked (T, N) rollout extras.
+  Exact per-episode lists, but fetching (T, N, n_components) floats from the
+  device EVERY iteration costs ~20 MB/iter over the remote-TPU tunnel and
+  was measured to throttle full PPO training ~10x (130k vs 1.3M env-steps/s
+  at 8192 envs). Kept for tests and small CPU runs.
+- `DeviceBreakdown` + `process_device_window`: TPU-native path. A jitted
+  reducer folds each iteration's extras into per-env episode accumulators
+  and tiny per-(termination-type, component) window totals ON DEVICE; the
+  host fetches only those totals (a few hundred scalars) per logging window.
+  Mean-of-per-episode-sums == windowed total / windowed count, so the TB
+  output is identical to the host path.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
+
+_TYPES = ("success", "failure", "timeout")
 
 
 class RewardComponentObserver:
@@ -118,3 +134,158 @@ class RewardComponentObserver:
         self._finished_steps.clear()
         self._term_counts.clear()
         self._episodes_since_log = 0
+
+    # ------------------------------------------------------------------
+    # device-side windowed path
+    # ------------------------------------------------------------------
+    def process_device_window(self, summary: Dict[str, Any]) -> None:
+        """Emit the same TB keys from a fetched DeviceBreakdown window summary
+        (`DeviceBreakdown.fetch_and_reset`)."""
+        self._global_step = int(summary["global_step"])
+        counts = np.asarray(summary["ep_count"], dtype=np.float64)   # (3,)
+        step_sum = np.asarray(summary["step_sum"], dtype=np.float64)  # (3,)
+        comp_sum = {
+            k: np.asarray(v, dtype=np.float64)
+            for k, v in summary["comp_sum"].items()
+        }
+        total = float(counts.sum())
+        if self.writer is None or total == 0:
+            return
+        for ti, ttype in enumerate(("all",) + _TYPES):
+            if ttype == "all":
+                cnt, ssum = total, float(step_sum.sum())
+                csel = {k: float(v.sum()) for k, v in comp_sum.items()}
+            else:
+                cnt, ssum = float(counts[ti - 1]), float(step_sum[ti - 1])
+                csel = {k: float(v[ti - 1]) for k, v in comp_sum.items()}
+            if cnt == 0:
+                continue
+            mean_len = ssum / cnt
+            for name, csum in csel.items():
+                kind = "weighted" if name.endswith("_weighted") else "raw"
+                base = name[:-9] if name.endswith("_weighted") else name
+                ep_mean = csum / cnt
+                self.writer.add_scalar(
+                    f"reward_breakdown/{ttype}/{kind}/episode/{base}",
+                    ep_mean, self._global_step,
+                )
+                self.writer.add_scalar(
+                    f"reward_breakdown/{ttype}/{kind}/step/{base}",
+                    ep_mean / max(mean_len, 1.0), self._global_step,
+                )
+        for ti, ttype in enumerate(_TYPES):
+            self.writer.add_scalar(
+                f"training/termination_rates/{ttype}",
+                float(counts[ti]) / total, self._global_step,
+            )
+        self.writer.add_scalar(
+            "training/episode_length", float(step_sum.sum()) / total,
+            self._global_step,
+        )
+
+
+@dataclasses.dataclass
+class DeviceBreakdown:
+    """Device-resident reward-breakdown reducer.
+
+    Holds per-env episode accumulators plus per-(type, component) window
+    totals as a small pytree on device; `update` is jitted and donates its
+    state, so per-iteration cost is one async dispatch and zero host
+    transfer. Works under GSPMD sharding: the per-env leaves follow the
+    extras' env-batch sharding, the window totals are replicated reductions.
+    """
+
+    state: Any
+    _update_jit: Any
+    comp_names: tuple
+
+    @classmethod
+    def create(cls, roll_extras) -> "DeviceBreakdown":
+        import jax
+        import jax.numpy as jnp
+
+        comps = roll_extras["reward_components"]
+        comp_names = tuple(sorted(comps))
+        n = comps[comp_names[0]].shape[1]
+        c = len(comp_names)
+        state = {
+            # per-env running episode accumulators
+            "comp_acc": jnp.zeros((n, c), dtype=jnp.float32),
+            "step_acc": jnp.zeros((n,), dtype=jnp.int32),
+            # window totals per termination type (success, failure, timeout)
+            "ep_count": jnp.zeros((3,), dtype=jnp.int32),
+            "step_sum": jnp.zeros((3,), dtype=jnp.float32),
+            "comp_sum": jnp.zeros((3, c), dtype=jnp.float32),
+        }
+
+        def update(st, extras):
+            comp_t = jnp.stack(
+                [extras["reward_components"][k] for k in comp_names], axis=-1
+            )  # (T, N, C)
+            masks = jnp.stack(
+                [extras["success"], extras["failure"], extras["timeout"]],
+                axis=-1,
+            )  # (T, N, 3) mutually exclusive
+
+            def body(carry, xs):
+                comp_acc, step_acc, ep_count, step_sum, comp_sum = carry
+                ct, mt = xs                     # (N, C), (N, 3)
+                comp_acc = comp_acc + ct
+                step_acc = step_acc + 1
+                done = mt.any(axis=-1)          # (N,)
+                mf = mt.astype(jnp.float32)     # (N, 3)
+                ep_count = ep_count + mt.sum(axis=0)
+                step_sum = step_sum + (mf * step_acc[:, None]).sum(axis=0)
+                comp_sum = comp_sum + jnp.einsum("nt,nc->tc", mf, comp_acc)
+                comp_acc = jnp.where(done[:, None], 0.0, comp_acc)
+                step_acc = jnp.where(done, 0, step_acc)
+                return (comp_acc, step_acc, ep_count, step_sum, comp_sum), None
+
+            (comp_acc, step_acc, ep_count, step_sum, comp_sum), _ = (
+                jax.lax.scan(
+                    body,
+                    (st["comp_acc"], st["step_acc"], st["ep_count"],
+                     st["step_sum"], st["comp_sum"]),
+                    (comp_t, masks),
+                )
+            )
+            return {
+                "comp_acc": comp_acc,
+                "step_acc": step_acc,
+                "ep_count": ep_count,
+                "step_sum": step_sum,
+                "comp_sum": comp_sum,
+            }
+
+        return cls(
+            state=state,
+            _update_jit=jax.jit(update, donate_argnums=0),
+            comp_names=comp_names,
+        )
+
+    def update(self, roll_extras) -> None:
+        self.state = self._update_jit(self.state, roll_extras)
+
+    def fetch_and_reset(self, global_step: int = 0) -> Dict[str, Any]:
+        """Fetch the window totals to host and zero them (per-env episode
+        accumulators are preserved across windows). `global_step` is the
+        host-tracked env-step counter stamped into the summary."""
+        import jax
+        import jax.numpy as jnp
+
+        host = jax.device_get({
+            "ep_count": self.state["ep_count"],
+            "step_sum": self.state["step_sum"],
+        })
+        host["global_step"] = int(global_step)
+        comp_sum_h = np.asarray(jax.device_get(self.state["comp_sum"]))
+        host["comp_sum"] = {
+            k: comp_sum_h[:, i] for i, k in enumerate(self.comp_names)
+        }
+        self.state = {
+            **self.state,
+            "ep_count": jnp.zeros((3,), dtype=jnp.int32),
+            "step_sum": jnp.zeros((3,), dtype=jnp.float32),
+            "comp_sum": jnp.zeros_like(self.state["comp_sum"]),
+        }
+        return host

@@ -220,3 +220,106 @@ class TestAsymmetricActorCritic:
         )
         assert int(st2.epoch) == 1
         assert np.isfinite(float(metrics["kl"]))
+
+
+class TestDeviceBreakdown:
+    """The device-side windowed reducer must reproduce the host observer's
+    per-(type, component) episode accounting exactly (rl/observer.py)."""
+
+    def _random_extras(self, rng, T, N, comps):
+        # mutually exclusive done masks, ~25% done per step
+        kind = rng.integers(0, 8, size=(T, N))
+        return {
+            "success": jnp.asarray(kind == 0),
+            "failure": jnp.asarray(kind == 1),
+            "timeout": jnp.asarray(kind == 2),
+            "reward_components": {
+                k: jnp.asarray(
+                    rng.normal(size=(T, N)).astype(np.float32)
+                ) for k in comps
+            },
+        }
+
+    def test_matches_host_accounting(self):
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        rng = np.random.default_rng(0)
+        T, N = 5, 8
+        comps = ["alive", "alive_weighted", "s1_x"]
+        batches = [self._random_extras(rng, T, N, comps) for _ in range(4)]
+
+        db = DeviceBreakdown.create(batches[0])
+        for b in batches:
+            db.update(b)
+        got = db.fetch_and_reset(global_step=123)
+
+        # host reference accounting
+        acc = {k: np.zeros(N) for k in comps}
+        steps = np.zeros(N, dtype=np.int64)
+        ep_count = np.zeros(3, dtype=np.int64)
+        step_sum = np.zeros(3)
+        comp_sum = {k: np.zeros(3) for k in comps}
+        for b in batches:
+            succ = np.asarray(b["success"])
+            fail = np.asarray(b["failure"])
+            tout = np.asarray(b["timeout"])
+            cv = {k: np.asarray(v) for k, v in b["reward_components"].items()}
+            for t in range(T):
+                for k in comps:
+                    acc[k] += cv[k][t]
+                steps += 1
+                for ti, mask in enumerate((succ[t], fail[t], tout[t])):
+                    for env in np.nonzero(mask)[0]:
+                        ep_count[ti] += 1
+                        step_sum[ti] += steps[env]
+                        for k in comps:
+                            comp_sum[k][ti] += acc[k][env]
+                done = succ[t] | fail[t] | tout[t]
+                for k in comps:
+                    acc[k][done] = 0.0
+                steps[done] = 0
+
+        assert got["global_step"] == 123
+        np.testing.assert_array_equal(np.asarray(got["ep_count"]), ep_count)
+        np.testing.assert_allclose(
+            np.asarray(got["step_sum"]), step_sum, rtol=1e-6
+        )
+        for k in comps:
+            np.testing.assert_allclose(
+                got["comp_sum"][k], comp_sum[k], rtol=1e-4, atol=1e-4
+            )
+
+        # window totals reset; per-env episode accumulators persist
+        empty = db.fetch_and_reset()
+        assert np.asarray(empty["ep_count"]).sum() == 0
+        db.update(batches[0])  # must still accept extras after reset
+
+    def test_summary_feeds_observer(self):
+        from dexrobot_isaac_tpu.rl.observer import (
+            DeviceBreakdown,
+            RewardComponentObserver,
+        )
+
+        class FakeWriter:
+            def __init__(self):
+                self.scalars = {}
+
+            def add_scalar(self, key, value, step):
+                self.scalars[key] = (value, step)
+
+        rng = np.random.default_rng(1)
+        extras = self._random_extras(rng, 6, 16, ["alive", "alive_weighted"])
+        db = DeviceBreakdown.create(extras)
+        db.update(extras)
+        w = FakeWriter()
+        obs = RewardComponentObserver(w, log_interval=1)
+        obs.process_device_window(db.fetch_and_reset(global_step=96))
+        keys = set(w.scalars)
+        assert "reward_breakdown/all/raw/episode/alive" in keys
+        assert "reward_breakdown/all/weighted/episode/alive" in keys
+        assert "training/episode_length" in keys
+        rates = [
+            w.scalars[f"training/termination_rates/{t}"][0]
+            for t in ("success", "failure", "timeout")
+        ]
+        assert abs(sum(rates) - 1.0) < 1e-6
