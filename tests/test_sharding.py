@@ -56,3 +56,38 @@ class TestShardedTrainingStep:
         jax.block_until_ready(obs)
         assert obs.shape[0] == actions.shape[0]
         assert bool(jnp.isfinite(obs).all())
+
+
+class TestDeviceBreakdownSharded:
+    def test_accumulates_on_sharded_extras(self, mesh):
+        """DeviceBreakdown must work when rollout extras are mesh-sharded
+        along the env axis (GSPMD partitions the jitted reducer)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dexrobot_isaac_tpu.parallel.mesh import DATA_AXIS
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        T, N = 4, 16
+        rng = np.random.default_rng(0)
+        kind = rng.integers(0, 6, size=(T, N))
+        sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        extras = {
+            "success": jax.device_put(jnp.asarray(kind == 0), sh),
+            "failure": jax.device_put(jnp.asarray(kind == 1), sh),
+            "timeout": jax.device_put(jnp.asarray(kind == 2), sh),
+            "reward_components": {
+                "alive": jax.device_put(
+                    jnp.asarray(rng.normal(size=(T, N)).astype(np.float32)),
+                    sh,
+                ),
+            },
+        }
+        db = DeviceBreakdown.create(extras)
+        db.update(extras)
+        db.update(extras)
+        got = db.fetch_and_reset()
+        # every done in the batch counted, twice
+        expect = np.array(
+            [(kind == 0).sum(), (kind == 1).sum(), (kind == 2).sum()]
+        ) * 2
+        np.testing.assert_array_equal(np.asarray(got["ep_count"]), expect)
