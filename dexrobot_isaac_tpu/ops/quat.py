@@ -151,3 +151,94 @@ def point_in_world_frame(
     Parity with reference `utils/coordinate_transforms.py:39-56`.
     """
     return quat_rotate(hand_quat, point_hand) + hand_pos
+
+
+def quat_from_rotvec(vec: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Scaled axis-angle (exponential coordinates, (..., 3)) -> quaternion
+    (..., 4) xyzw. Parity: axisangle2quat (torch_jit_utils.py:77-108), which
+    maps |vec| < eps to the identity; here the same limit falls out of a
+    numerically safe half-sinc so the function stays differentiable at 0."""
+    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    # sin(angle/2)/angle with the exact Taylor limit 1/2 - angle^2/48 at 0
+    small = angle < eps
+    safe = jnp.where(small, 1.0, angle)
+    half_sinc = jnp.where(small, 0.5 - angle * angle / 48.0,
+                          jnp.sin(half) / safe)
+    return jnp.concatenate([vec * half_sinc, jnp.cos(half)], axis=-1)
+
+
+def rotmat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> quaternion (..., 4) xyzw.
+
+    Branchless Shepperd-style selection (parity with matrix_to_quaternion,
+    torch_jit_utils.py:121-193, which returns wxyz; this module's convention
+    is xyzw): build all four candidate quaternions scaled by their pivot and
+    select the numerically largest pivot per element with a one-hot mask."""
+    b = m.shape[:-2]
+    f = m.reshape(b + (9,))
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = (
+        f[..., i] for i in range(9)
+    )
+    # squared 2*pivot magnitudes for (w, x, y, z)
+    q_abs2 = jnp.stack(
+        [1.0 + m00 + m11 + m22,
+         1.0 + m00 - m11 - m22,
+         1.0 - m00 + m11 - m22,
+         1.0 - m00 - m11 + m22], axis=-1,
+    )
+    q_abs = jnp.sqrt(jnp.clip(q_abs2, 0.0, None))
+    # candidate quats (xyzw), row k scaled by 2*q_abs[k]
+    cand = jnp.stack(
+        [
+            jnp.stack([m21 - m12, m02 - m20, m10 - m01, q_abs[..., 0] ** 2],
+                      axis=-1),
+            jnp.stack([q_abs[..., 1] ** 2, m10 + m01, m02 + m20, m21 - m12],
+                      axis=-1),
+            jnp.stack([m10 + m01, q_abs[..., 2] ** 2, m12 + m21, m02 - m20],
+                      axis=-1),
+            jnp.stack([m20 + m02, m21 + m12, q_abs[..., 3] ** 2, m10 - m01],
+                      axis=-1),
+        ],
+        axis=-2,
+    ) / (2.0 * jnp.maximum(q_abs[..., None], 0.1))
+    best = jnp.argmax(q_abs, axis=-1)
+    onehot = jax_nn_one_hot(best, 4)
+    return quat_unit(jnp.sum(cand * onehot[..., None], axis=-2))
+
+
+def jax_nn_one_hot(idx, n):
+    return (idx[..., None] == jnp.arange(n)).astype(jnp.float32)
+
+
+def rotation_matrix_from_vectors(
+    forward: jnp.ndarray, up: jnp.ndarray
+) -> jnp.ndarray:
+    """Orthonormal rotation matrix (..., 3, 3) with columns
+    [right, up', forward] (Gram-Schmidt).
+
+    Parity note: the reference's rotation_matrix_from_vectors
+    (torch_jit_utils.py:196-224) uses right = forward x up, which makes the
+    stacked [right, up', forward] LEFT-handed (det = -1) -- not a rotation,
+    so its downstream matrix_to_quaternion output does not represent the
+    matrix. Here right = up x forward, giving a proper right-handed rotation
+    (right x up' = forward, det = +1) with the same documented intent."""
+    def _norm(v):
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-6)
+
+    forward = _norm(forward)
+    right = _norm(jnp.cross(up, forward))
+    up2 = jnp.cross(forward, right)
+    return jnp.stack([right, up2, forward], axis=-1)
+
+
+def lookat_quaternion(
+    cam_pos: jnp.ndarray, target_pos: jnp.ndarray, up: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Quaternion (xyzw) orienting local +z toward `target_pos` from
+    `cam_pos` with `up` (default world +z) as the vertical reference
+    (parity: lookat_quaternion, torch_jit_utils.py:227-257)."""
+    if up is None:
+        up = jnp.zeros_like(cam_pos).at[..., 2].set(1.0)
+    forward = target_pos - cam_pos
+    return rotmat_to_quat(rotation_matrix_from_vectors(forward, up))

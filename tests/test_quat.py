@@ -118,3 +118,62 @@ class TestHandFrameTransforms:
         local = qm.point_in_hand_frame(p, hand_pos, hand_quat)
         back = qm.point_in_world_frame(local, hand_pos, hand_quat)
         np.testing.assert_allclose(back, p, atol=1e-5)
+
+
+class TestRotationExtras:
+    """quat_from_rotvec / rotmat_to_quat / rotation_matrix_from_vectors /
+    lookat_quaternion (parity: torch_jit_utils.py:77-257)."""
+
+    def test_rotvec_matches_axis_angle(self):
+        rng = np.random.default_rng(0)
+        axis = rng.normal(size=(64, 3))
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        angle = rng.uniform(-np.pi, np.pi, size=(64,))
+        got = qm.quat_from_rotvec(jnp.asarray(axis * angle[:, None], jnp.float32))
+        want = qm.quat_from_axis_angle(
+            jnp.asarray(axis, jnp.float32), jnp.asarray(angle, jnp.float32)
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rotvec_zero_is_identity(self):
+        q = np.asarray(qm.quat_from_rotvec(jnp.zeros((3,))))
+        np.testing.assert_allclose(q, [0, 0, 0, 1], atol=1e-7)
+        # tiny but nonzero stays finite and normalized
+        q2 = np.asarray(qm.quat_from_rotvec(jnp.asarray([1e-8, 0, 0])))
+        assert np.isfinite(q2).all()
+        np.testing.assert_allclose(np.linalg.norm(q2), 1.0, atol=1e-6)
+
+    def test_rotmat_quat_roundtrip(self):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(128, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        q = jnp.asarray(q, jnp.float32)
+        q2 = qm.rotmat_to_quat(qm.quat_to_rotmat(q))
+        # equal up to global sign
+        sign = np.sign(np.sum(np.asarray(q2) * np.asarray(q), axis=-1))
+        np.testing.assert_allclose(
+            np.asarray(q2) * sign[:, None], np.asarray(q), rtol=1e-4, atol=1e-4
+        )
+
+    def test_rotation_matrix_from_vectors_orthonormal(self):
+        rng = np.random.default_rng(2)
+        fwd = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+        up = jnp.zeros_like(fwd).at[:, 2].set(1.0)
+        R = np.asarray(qm.rotation_matrix_from_vectors(fwd, up))
+        eye = np.einsum("bij,bik->bjk", R, R)
+        np.testing.assert_allclose(
+            eye, np.tile(np.eye(3), (32, 1, 1)), atol=1e-5
+        )
+        # third column IS the normalized forward
+        f = np.asarray(fwd) / np.linalg.norm(fwd, axis=-1, keepdims=True)
+        np.testing.assert_allclose(R[:, :, 2], f, atol=1e-5)
+
+    def test_lookat_points_local_z_at_target(self):
+        cam = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        tgt = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+        q = qm.lookat_quaternion(cam, tgt)
+        z_world = np.asarray(qm.quat_rotate(q, jnp.asarray([[0.0, 0.0, 1.0]])))
+        want = np.asarray(tgt - cam)
+        want = want / np.linalg.norm(want)
+        np.testing.assert_allclose(z_world, want, atol=1e-5)
