@@ -21,6 +21,9 @@ from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 from dexrobot_isaac_tpu.envs.tasks.base_task import BaseTask
 from dexrobot_isaac_tpu.envs.tasks.blind_grasping import BlindGraspingTask
 from dexrobot_isaac_tpu.envs.tasks.box_reorientation import BoxReorientationTask
+from dexrobot_isaac_tpu.envs.tasks.in_hand_reorientation import (
+    InHandReorientationTask,
+)
 from dexrobot_isaac_tpu.models.dexhand021 import build_hand_model
 from dexrobot_isaac_tpu.physics.engine import HandPhysics
 from dexrobot_isaac_tpu.physics.types import SimParams
@@ -42,6 +45,7 @@ TASK_REGISTRY: Dict[str, Type[DexTask]] = {
     "BaseTask": BaseTask,
     "BlindGrasping": BlindGraspingTask,
     "BoxReorientation": BoxReorientationTask,
+    "InHandReorientation": InHandReorientationTask,
 }
 
 

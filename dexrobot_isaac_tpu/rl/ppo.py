@@ -55,6 +55,14 @@ class PPOConfig:
     #   "per_iteration" - once per train iteration on the final epoch's mean KL
     schedule_type: str = "standard"
     kl_threshold: float = 0.008
+    # Adaptive-LR clamp. Defaults are rl_games parity (AdaptiveScheduler
+    # min_lr/max_lr). The 1e-2 ceiling is dangerous on long runs: as the
+    # policy converges KL falls below threshold, the LR ratchets x1.5 to the
+    # rail, and one oversized update can destroy a converged policy
+    # (observed: 68% -> 0% success at iter ~22k). Overlays that train long
+    # should set lr_ceiling ~1e-3.
+    lr_floor: float = 1e-6
+    lr_ceiling: float = 1e-2
     e_clip: float = 0.2
     grad_norm: float = 1.0
     critic_coef: float = 4.0
@@ -419,7 +427,7 @@ class PPOLearner:
         cfg = self.cfg
         lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
         lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
-        return jnp.clip(lr, 1e-6, 1e-2)
+        return jnp.clip(lr, cfg.lr_floor, cfg.lr_ceiling)
 
     def _batch_moments(self, batch):
         """Per-batch mean/var/count with cross-shard reduction when sharded."""

@@ -104,6 +104,8 @@ def main(argv=None) -> int:
         lr_schedule=str(tp.get("lr_schedule", "adaptive")),
         schedule_type=str(tp.get("schedule_type", "standard")),
         kl_threshold=float(tp.get("kl_threshold", 0.008)),
+        lr_floor=float(tp.get("lr_floor", 1e-6)),
+        lr_ceiling=float(tp.get("lr_ceiling", 1e-2)),
         e_clip=float(tp.get("e_clip", 0.2)),
         grad_norm=float(tp.get("grad_norm", 1.0)),
         critic_coef=float(tp.get("critic_coef", 4.0)),
