@@ -29,13 +29,16 @@ implementation and the fallback off-TPU.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-ENV_BLOCK = 1024  # f32 lane-vecs tile as (8, 128)
+# Envs per kernel grid block; f32 lane-vecs tile as (8, 128). Overridable
+# for block-size sweeps on new TPU generations (tools/bench_kernel.py).
+ENV_BLOCK = int(os.environ.get("DEXHAND_ENV_BLOCK", "1024"))
 
 
 # ----------------------------------------------------------------------
