@@ -160,6 +160,30 @@ class PPOLearner:
         # call sites, and donating both trips XLA's donated-buffer reuse check
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=0)
 
+    def make_chunked_train_step(self, chunk: int):
+        """jit(lax.scan) over `chunk` train iterations: ONE dispatch (and, at
+        log time, one sync) per chunk instead of per iteration. On a remote
+        TPU the per-iteration dispatch is a host round trip; chunking
+        amortizes it. Returns fn(ppo, env_state, obs) ->
+        (ppo, env_state, obs, metrics[chunk, ...], extras[chunk, T, N, ...]).
+        Stacked extras reshape to (chunk*T, N) in chronological order for the
+        DeviceBreakdown reducer."""
+
+        def body(carry, _):
+            ppo, env_state, obs = carry
+            ppo, env_state, obs, metrics, extras = self._train_iteration(
+                ppo, env_state, obs
+            )
+            return (ppo, env_state, obs), (metrics, extras)
+
+        def run(ppo, env_state, obs):
+            (ppo, env_state, obs), (metrics, extras) = jax.lax.scan(
+                body, (ppo, env_state, obs), None, length=chunk
+            )
+            return ppo, env_state, obs, metrics, extras
+
+        return jax.jit(run, donate_argnums=0)
+
     # ------------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> PPOState:
         cfg = self.cfg

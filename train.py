@@ -201,6 +201,16 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     else:
         train_step = learner.train_iteration
 
+    # dispatch chunking: scan `chunk` train iterations inside one jitted
+    # program, so the remote-TPU host round trip is paid once per chunk
+    # (single-program path only; the shard_map path dispatches per iteration)
+    chunk = max(1, int(get_by_path(cfg, "train.params.config.dispatch_chunk", 1)))
+    if distributed and chunk > 1:
+        logger.info("dispatch_chunk ignored on the distributed path")
+        chunk = 1
+    if chunk > 1:
+        train_step = learner.make_chunked_train_step(chunk)
+
     best_reward = -np.inf
     t_start = time.time()
     window_t, window_it = t_start, 0
@@ -228,23 +238,39 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     # train.profile=N captures a jax profiler trace of iterations 2..2+N
     profile_iters = int(get_by_path(cfg, "train.profile", 0) or 0)
 
-    for it in range(1, max_iters + 1):
-        if profile_iters and it == 2:
+    profiling = False
+    for it_prev in range(0, max_iters, chunk):
+        it = min(it_prev + chunk, max_iters)
+
+        def crossed(interval):
+            return it_prev // interval != it // interval
+
+        if profile_iters and not profiling and it >= 2:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
-        if profile_iters and it == 2 + profile_iters:
+            profiling = True
+        if profile_iters and profiling and it >= 2 + profile_iters:
             jax.profiler.stop_trace()
+            profiling = False
+            profile_iters = 0
             logger.info(f"Profiler trace written to {run_dir}/profile")
         ppo, env_state, obs, metrics, roll_extras = train_step(
             ppo, env_state, obs
         )
-        # fold this iteration's extras into the device-resident breakdown
+        if chunk > 1:
+            # stacked (chunk, T, N, ...) -> (chunk*T, N, ...) chronological;
+            # metrics: keep the final iteration's values
+            roll_extras = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), roll_extras
+            )
+            metrics = jax.tree.map(lambda x: x[-1], metrics)
+        # fold this chunk's extras into the device-resident breakdown
         # reducer: one async dispatch, no host transfer (the full (T, N, C)
         # extras fetch every iteration throttled training ~10x over the
         # remote-TPU tunnel)
         if breakdown is None:
             breakdown = DeviceBreakdown.create(roll_extras)
         breakdown.update(roll_extras)
-        if it % log_interval == 0:
+        if crossed(log_interval) or it == max_iters:
             m = {k: float(v) for k, v in metrics.items()}
             # windowed rate: the first execution of a fresh program pays a
             # multi-minute device-side kernel compile; a cumulative average
@@ -295,7 +321,7 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
                     os.path.join(nn_dir, f"{task_name}_best.ckpt"), ppo,
                     {"iteration": it, "reward": best_reward},
                 )
-        if it % save_freq == 0 or it == max_iters:
+        if crossed(save_freq) or it == max_iters:
             path = os.path.join(nn_dir, f"{task_name}_ep{it}.ckpt")
             save_checkpoint(path, ppo, {"iteration": it})
             save_checkpoint(os.path.join(nn_dir, "latest.ckpt"), ppo,
