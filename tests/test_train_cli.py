@@ -59,3 +59,19 @@ class TestTrainCLI:
             BASE_ARGS + ["test=true", "checkpoint=latest", "testGamesNum=4"]
         )
         assert rc == 0
+
+    def test_chunked_dispatch(self, runs_dir):
+        """dispatch_chunk > 1 scans iterations inside one program; logging,
+        checkpoints, and the breakdown reducer operate at chunk granularity."""
+        import train as train_mod
+
+        rc = train_mod.main(BASE_ARGS + [
+            "maxIterations=4",
+            "train.params.config.dispatch_chunk=2",
+            "train.params.config.log_interval=2",
+        ])
+        assert rc == 0
+        runs_all = os.path.join(runs_dir, "runs_all")
+        run = sorted(os.listdir(runs_all))[-1]
+        files = os.listdir(os.path.join(runs_all, run, "nn"))
+        assert "BaseTask_ep4.ckpt" in files
