@@ -13,6 +13,7 @@ reference's `isaacgym.torch_utils` quaternion helpers plus
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -158,14 +159,17 @@ def quat_from_rotvec(vec: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     (..., 4) xyzw. Parity: axisangle2quat (torch_jit_utils.py:77-108), which
     maps |vec| < eps to the identity; here the same limit falls out of a
     numerically safe half-sinc so the function stays differentiable at 0."""
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    # gradient-safe at 0: the norm's derivative is 0/0 at the zero vector,
+    # so both the mask and the Taylor branch are expressed in |v|^2 (smooth)
+    # and the sqrt only ever sees a clamped argument
+    sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    small = sq < eps * eps
+    angle = jnp.sqrt(jnp.where(small, eps * eps, sq))
     half = 0.5 * angle
-    # sin(angle/2)/angle with the exact Taylor limit 1/2 - angle^2/48 at 0
-    small = angle < eps
-    safe = jnp.where(small, 1.0, angle)
-    half_sinc = jnp.where(small, 0.5 - angle * angle / 48.0,
-                          jnp.sin(half) / safe)
-    return jnp.concatenate([vec * half_sinc, jnp.cos(half)], axis=-1)
+    # sin(angle/2)/angle with the exact Taylor limit 1/2 - |v|^2/48 at 0
+    half_sinc = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    cos_half = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([vec * half_sinc, cos_half], axis=-1)
 
 
 def rotmat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
@@ -203,12 +207,8 @@ def rotmat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     ) / (2.0 * jnp.maximum(q_abs[..., None], 0.1))
     best = jnp.argmax(q_abs, axis=-1)
-    onehot = jax_nn_one_hot(best, 4)
+    onehot = jax.nn.one_hot(best, 4, dtype=cand.dtype)
     return quat_unit(jnp.sum(cand * onehot[..., None], axis=-2))
-
-
-def jax_nn_one_hot(idx, n):
-    return (idx[..., None] == jnp.arange(n)).astype(jnp.float32)
 
 
 def rotation_matrix_from_vectors(
@@ -237,8 +237,19 @@ def lookat_quaternion(
 ) -> jnp.ndarray:
     """Quaternion (xyzw) orienting local +z toward `target_pos` from
     `cam_pos` with `up` (default world +z) as the vertical reference
-    (parity: lookat_quaternion, torch_jit_utils.py:227-257)."""
+    (parity: lookat_quaternion, torch_jit_utils.py:227-257).
+
+    When forward is (anti-)parallel to `up` — e.g. the common straight-down
+    camera — the frame is completed with world +x instead of degenerating
+    to a singular matrix."""
     if up is None:
         up = jnp.zeros_like(cam_pos).at[..., 2].set(1.0)
     forward = target_pos - cam_pos
+    f_hat = forward / jnp.linalg.norm(forward, axis=-1, keepdims=True).clip(1e-9)
+    u_hat = up / jnp.linalg.norm(up, axis=-1, keepdims=True).clip(1e-9)
+    parallel = (
+        jnp.linalg.norm(jnp.cross(u_hat, f_hat), axis=-1, keepdims=True) < 1e-6
+    )
+    fallback = jnp.zeros_like(up).at[..., 0].set(1.0)
+    up = jnp.where(parallel, fallback, up)
     return rotmat_to_quat(rotation_matrix_from_vectors(forward, up))

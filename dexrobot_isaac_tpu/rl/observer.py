@@ -276,9 +276,10 @@ class DeviceBreakdown:
         host = jax.device_get({
             "ep_count": self.state["ep_count"],
             "step_sum": self.state["step_sum"],
+            "comp_sum": self.state["comp_sum"],
         })
         host["global_step"] = int(global_step)
-        comp_sum_h = np.asarray(jax.device_get(self.state["comp_sum"]))
+        comp_sum_h = np.asarray(host["comp_sum"])
         host["comp_sum"] = {
             k: comp_sum_h[:, i] for i, k in enumerate(self.comp_names)
         }

@@ -177,3 +177,17 @@ class TestRotationExtras:
         want = np.asarray(tgt - cam)
         want = want / np.linalg.norm(want)
         np.testing.assert_allclose(z_world, want, atol=1e-5)
+
+    def test_rotvec_gradient_finite_at_zero(self):
+        g = jax.grad(lambda v: qm.quat_from_rotvec(v).sum())(jnp.zeros(3))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_lookat_straight_down_is_valid(self):
+        cam = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        tgt = jnp.zeros((1, 3), jnp.float32)
+        q = qm.lookat_quaternion(cam, tgt)
+        R = qm.quat_to_rotmat(q)[0]
+        det = float(jnp.linalg.det(R))
+        z_world = np.asarray(qm.quat_rotate(q, jnp.asarray([[0.0, 0.0, 1.0]])))
+        np.testing.assert_allclose(det, 1.0, atol=1e-4)
+        np.testing.assert_allclose(z_world, [[0.0, 0.0, -1.0]], atol=1e-5)

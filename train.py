@@ -210,6 +210,14 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
         chunk = 1
     if chunk > 1:
         train_step = learner.make_chunked_train_step(chunk)
+        if max_iters % chunk:
+            # the scan length is compiled in: every dispatch executes a full
+            # chunk, so round the budget up rather than misreport iterations
+            max_iters = (max_iters // chunk + 1) * chunk
+            logger.info(
+                f"maxIterations rounded up to {max_iters} "
+                f"(multiple of dispatch_chunk={chunk})"
+            )
 
     best_reward = -np.inf
     t_start = time.time()
@@ -245,10 +253,13 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
         def crossed(interval):
             return it_prev // interval != it // interval
 
-        if profile_iters and not profiling and it >= 2:
+        # start only after at least one executed dispatch so the trace never
+        # contains the fresh-program compile
+        if profile_iters and not profiling and it_prev >= 1:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             profiling = True
-        if profile_iters and profiling and it >= 2 + profile_iters:
+            profile_start = it_prev
+        if profile_iters and profiling and it >= profile_start + profile_iters:
             jax.profiler.stop_trace()
             profiling = False
             profile_iters = 0
@@ -397,6 +408,14 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
             )
             streamer.start()
 
+    # evaluation always runs the FULL reset distribution: with a curriculum
+    # configured, initial_difficulty would otherwise silently evaluate on
+    # the easiest ranges and inflate success rates. Set before the first
+    # reset so it bakes into the trace (difficulty starts at this constant).
+    if env.comps.initial_difficulty != 1.0:
+        env.comps.initial_difficulty = 1.0
+        logger.info("Eval: curriculum difficulty forced to 1.0 "
+                    "(full reset distribution)")
     step_jit = jax.jit(env.step_fn)
     act_jit = jax.jit(learner.act_deterministic)
     env_state, obs = env._reset_jit(jax.random.key(env._seed))
