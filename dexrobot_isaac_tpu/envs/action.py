@@ -61,7 +61,6 @@ class ActionPipeline:
     # coupling_scale[d] * active[coupling_src[d]]; uncontrolled DOFs scale 0.
     coupling_src: jnp.ndarray         # (26,) int
     coupling_scale: jnp.ndarray       # (26,)
-    default_dof_pos: jnp.ndarray      # (26,) used to re-sync targets on reset
     post_action_filters: Tuple[str, ...] = ("velocity_clamp", "position_clamp")
     custom_action_rule: Optional[ActionRule] = None
     custom_filters: Tuple[PostActionFilter, ...] = ()
@@ -121,7 +120,6 @@ def build_action_pipeline(
         max_deltas=np.asarray(max_deltas, dtype=np.float32),
         coupling_src=np.asarray(src),
         coupling_scale=np.asarray(scale, dtype=np.float32),
-        default_dof_pos=np.zeros(NUM_DOFS, dtype=np.float32),
         post_action_filters=tuple(post_action_filters),
         custom_action_rule=custom_action_rule,
         custom_filters=tuple(custom_filters),

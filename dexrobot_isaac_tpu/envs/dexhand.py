@@ -213,8 +213,7 @@ class DexHandEnv:
         # --- physics: N lockstep steps (one fused Pallas kernel on TPU) ---
         # spawn is broadcast from the LOCAL batch size: under shard_map the
         # per-shard state is smaller than num_envs
-        n_local = state.physics.q.shape[0]
-        spawn = jnp.broadcast_to(self._spawn_const[None], (n_local, 3))
+        spawn = jnp.broadcast_to(self._spawn_const[None], (n, 3))
         # the control step also returns the final-state FK (computed inside
         # the fused kernel on TPU) so no separate vmapped FK runs per step
         phys, info, kin = self._control_step(
@@ -273,13 +272,23 @@ class DexHandEnv:
         rew = total + term_reward
         components.update(term_components)
 
-        # consecutive successes (termination_manager.py:323-339)
+        # consecutive successes: +1 on any step with a success anywhere,
+        # zeroed on any step without one, capped
+        # (termination_manager.py:330-338)
         any_success = term_info["success"].any()
-        any_failure = term_info["failure"].any() | term_info["timeout"].any()
+        if self.axis_name is not None:
+            # "anywhere" means across ALL shards: the scalar state leaf has a
+            # replicated out-spec, so it must be globally consistent
+            any_success = jax.lax.pmax(
+                any_success.astype(jnp.int32), self.axis_name
+            ) > 0
         consecutive = jnp.where(
             any_success,
-            state.consecutive_successes + 1,
-            jnp.where(any_failure, 0, state.consecutive_successes),
+            jnp.minimum(
+                state.consecutive_successes + 1,
+                c.term_cfg.max_consecutive_successes,
+            ),
+            0,
         )
 
         # --- auto-reset of done envs (masked; reset_manager.py:92-190) ---
@@ -333,7 +342,6 @@ class DexHandEnv:
             prev_contact_binary=jnp.where(m1, 0.0, contact_binary),
             episode_step_count=jnp.where(done, 0, new_count),
             body_contact_force=jnp.where(m1[..., None], 0.0, info.body_contact_force),
-            box_contact_force=jnp.where(m1, 0.0, info.box_contact_force),
             prev_finger_dof_vel=jnp.where(m1, 0.0, rtrack["prev_finger_dof_vel"]),
             prev_hand_vel=jnp.where(m1, 0.0, rtrack["prev_hand_vel"]),
             prev_hand_ang_vel=jnp.where(m1, 0.0, rtrack["prev_hand_ang_vel"]),
@@ -426,7 +434,6 @@ class DexHandEnv:
             prev_contact_binary=jnp.zeros((n, n_contact), dtype=jnp.float32),
             episode_step_count=jnp.zeros((n,), dtype=jnp.int32),
             body_contact_force=state_like["body_contact_force"],
-            box_contact_force=state_like["box_contact_force"],
             prev_finger_dof_vel=jnp.zeros((n, 20), dtype=jnp.float32),
             prev_hand_vel=jnp.zeros((n, 3), dtype=jnp.float32),
             prev_hand_ang_vel=jnp.zeros((n, 3), dtype=jnp.float32),

@@ -65,6 +65,7 @@ def circular_base_motion(
 
 def adaptive_grasp(
     close_rate: float = 0.5, force_threshold: float = 1.0,
+    control_dt: float = 0.02,
 ) -> BaseController:
     """Fingers close until their contact reports force (reference harness's
     adaptive grasp controller, examples/dexhand_test.py:171-240): each finger
@@ -83,7 +84,8 @@ def adaptive_grasp(
             jnp.zeros_like(contact[:, :1]),
             1.0 - contact[:, np.clip(control_to_finger, 0, 4)],
         )
-        dt = 0.02  # advance per control step while no contact
-        return targets + gate * close_rate * dt
+        # advance close_rate rad/s per control step while no contact; pass
+        # the env's actual control_dt for correct rates at non-default timing
+        return targets + gate * close_rate * control_dt
 
     return controller

@@ -48,6 +48,47 @@ class TaskReset:
     task_states: Optional[Dict[str, jnp.ndarray]] = None
 
 
+# ----------------------------------------------------------------------
+# shared task math (used by multiple shipped tasks; keep ONE copy)
+# ----------------------------------------------------------------------
+def detect_finger_box_contacts(
+    obs_dict: Dict[str, jnp.ndarray],
+    box_contact_force: jnp.ndarray,
+    box_pos: jnp.ndarray,
+    box_size: float,
+    contact_binary_threshold: float,
+) -> jnp.ndarray:
+    """Heuristic per-finger box contact: finger contact AND box contact AND
+    fingerpad-to-center proximity < sqrt(3)*size/2*1.2
+    (blind_grasping_task.py:773-833). Returns (N, 5) bool."""
+    import math
+
+    n = box_pos.shape[0]
+    box_mag = jnp.linalg.norm(box_contact_force, axis=-1)
+    box_has_contact = box_mag > contact_binary_threshold
+    pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
+    dist = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
+    proximity = dist < (math.sqrt(3.0) * box_size / 2.0 * 1.2)
+    finger_has_contact = obs_dict["contact_binary"] > 0.5
+    return finger_has_contact & box_has_contact[:, None] & proximity
+
+
+def symmetric_angle_error(
+    angle: jnp.ndarray, target: jnp.ndarray, period: float
+) -> jnp.ndarray:
+    """Signed shortest error modulo `period` (cube symmetry etc.)."""
+    err = angle - target
+    return err - period * jnp.round(err / period)
+
+
+def curriculum_scale(difficulty, min_fraction: float, enabled: bool = True):
+    """Randomization-amplitude scale: min_fraction + (1-min_fraction)*d,
+    clipped to [min_fraction, 1]; 1.0 when disabled or difficulty is None."""
+    if not enabled or difficulty is None:
+        return 1.0
+    return min_fraction + (1.0 - min_fraction) * jnp.clip(difficulty, 0.0, 1.0)
+
+
 class DexTask:
     """Base task: no-op everywhere (parity: dexhand_env/tasks/base_task.py)."""
 

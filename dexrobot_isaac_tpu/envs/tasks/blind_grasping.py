@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 
 from dexrobot_isaac_tpu.constants import DOF_INDEX
-from dexrobot_isaac_tpu.envs.tasks.api import DexTask, TaskReset, TaskStep
+from dexrobot_isaac_tpu.envs.tasks.api import (
+    DexTask,
+    TaskReset,
+    TaskStep,
+    curriculum_scale,
+    detect_finger_box_contacts,
+)
 from dexrobot_isaac_tpu.physics.types import SimParams
 
 
@@ -150,16 +156,10 @@ class BlindGraspingTask(DexTask):
     # ------------------------------------------------------------------
     def _detect_finger_box_contacts(self, obs_dict, box_contact_force, box_pos):
         """Heuristic finger-box contact (blind_grasping_task.py:773-833)."""
-        box_mag = jnp.linalg.norm(box_contact_force, axis=-1)
-        box_has_contact = box_mag > self.contact_binary_threshold
-
-        n = box_pos.shape[0]
-        pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
-        dist = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
-        proximity = dist < (math.sqrt(3.0) * self.box_size / 2.0 * 1.2)
-
-        finger_has_contact = obs_dict["contact_binary"] > 0.5
-        return finger_has_contact & box_has_contact[:, None] & proximity
+        return detect_finger_box_contacts(
+            obs_dict, box_contact_force, box_pos, self.box_size,
+            self.contact_binary_threshold,
+        )
 
     def compute_step(
         self, obs_dict, task_states, physics, kin, body_contact_force,
@@ -399,11 +399,9 @@ class BlindGraspingTask(DexTask):
 
         # curriculum scale on the hand-pose offset ranges (1.0 when disabled
         # or no difficulty provided -> exact reference-parity randomization)
-        if self.curriculum_enabled and difficulty is not None:
-            mf = self.curriculum_min_fraction
-            cscale = mf + (1.0 - mf) * jnp.clip(difficulty, 0.0, 1.0)
-        else:
-            cscale = 1.0
+        cscale = curriculum_scale(
+            difficulty, self.curriculum_min_fraction, self.curriculum_enabled
+        )
 
         xy = (jax.random.uniform(k_box, (n, 2)) * 2 - 1) * self.box_xy_range
         box_pos = jnp.concatenate(

@@ -28,7 +28,13 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from dexrobot_isaac_tpu.envs.tasks.api import DexTask, TaskReset, TaskStep
+from dexrobot_isaac_tpu.envs.tasks.api import (
+    DexTask,
+    TaskReset,
+    TaskStep,
+    detect_finger_box_contacts,
+    symmetric_angle_error,
+)
 from dexrobot_isaac_tpu.physics.types import SimParams
 
 
@@ -108,8 +114,7 @@ class BoxReorientationTask(DexTask):
     # ------------------------------------------------------------------
     def _yaw_error(self, yaw: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         """Signed shortest error under the task's rotational symmetry."""
-        err = yaw - target
-        return err - self._period * jnp.round(err / self._period)
+        return symmetric_angle_error(yaw, target, self._period)
 
     def compute_step(
         self, obs_dict, task_states, physics, kin, body_contact_force,
@@ -148,11 +153,10 @@ class BoxReorientationTask(DexTask):
         d_f2o = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
         obs["finger_to_object_distances"] = d_f2o
 
-        box_mag = jnp.linalg.norm(box_contact_force, axis=-1)
-        box_has_contact = box_mag > self.contact_binary_threshold
-        finger_contact = obs_dict["contact_binary"] > 0.5
-        proximity = d_f2o < (math.sqrt(3.0) * self.box_size / 2.0 * 1.2)
-        fb_contact = finger_contact & box_has_contact[:, None] & proximity
+        fb_contact = detect_finger_box_contacts(
+            obs_dict, box_contact_force, box_pos, self.box_size,
+            self.contact_binary_threshold,
+        )
         obs["fingers_on_box"] = fb_contact.astype(f32)
 
         # ---------- alignment tracking ----------

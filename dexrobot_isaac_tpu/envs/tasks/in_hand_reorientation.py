@@ -31,7 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from dexrobot_isaac_tpu.constants import DOF_INDEX, NUM_DOFS
-from dexrobot_isaac_tpu.envs.tasks.api import DexTask, TaskReset, TaskStep
+from dexrobot_isaac_tpu.envs.tasks.api import (
+    DexTask,
+    TaskReset,
+    TaskStep,
+    curriculum_scale,
+    detect_finger_box_contacts,
+    symmetric_angle_error,
+)
 from dexrobot_isaac_tpu.envs.tasks.box_reorientation import _box_yaw
 from dexrobot_isaac_tpu.physics.types import SimParams
 
@@ -183,8 +190,7 @@ class InHandReorientationTask(DexTask):
         }
 
     def _yaw_error(self, yaw, target):
-        err = yaw - target
-        return err - self._period * jnp.round(err / self._period)
+        return symmetric_angle_error(yaw, target, self._period)
 
     # ------------------------------------------------------------------
     def compute_step(
@@ -221,11 +227,9 @@ class InHandReorientationTask(DexTask):
         pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
         d_f2o = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
         obs["finger_to_object_distances"] = d_f2o
-        box_mag = jnp.linalg.norm(box_contact_force, axis=-1)
-        fb = (
-            (obs_dict["contact_binary"] > 0.5)
-            & (box_mag > self.contact_binary_threshold)[:, None]
-            & (d_f2o < math.sqrt(3.0) * self.box_size / 2.0 * 1.2)
+        fb = detect_finger_box_contacts(
+            obs_dict, box_contact_force, box_pos, self.box_size,
+            self.contact_binary_threshold,
         )
         grasped = fb[:, 0] & fb[:, 1:].any(axis=1)   # thumb + any other
         obs["fingers_on_box"] = fb.astype(f32)
@@ -280,11 +284,9 @@ class InHandReorientationTask(DexTask):
 
         # target rotation magnitude, optionally curriculum-scaled
         half = self._period / 2.0
-        if self.curriculum_enabled and difficulty is not None:
-            mf = self.curriculum_min_fraction
-            cscale = mf + (1.0 - mf) * jnp.clip(difficulty, 0.0, 1.0)
-        else:
-            cscale = 1.0
+        cscale = curriculum_scale(
+            difficulty, self.curriculum_min_fraction, self.curriculum_enabled
+        )
         mag = (
             self.min_initial_error
             + jax.random.uniform(k_tgt, (n,)) * (half - self.min_initial_error)

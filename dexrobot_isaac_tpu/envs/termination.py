@@ -28,9 +28,15 @@ class TerminationConfig:
     success_reward: float          # reward_weights.termination_success
     failure_penalty: float         # reward_weights.termination_failure_penalty
     timeout_penalty: float         # reward_weights.termination_timeout_penalty
-    # height-safety thresholds for the builtin hitting_ground criterion
+    # height-safety thresholds for the builtin hitting_ground criterion;
+    # the criterion exists only when the task config has a height_safety
+    # block (step_processor.py:140-165 creates it conditionally)
     handbase_threshold: float = 0.0
     fingertip_threshold: float = 0.0
+    has_height_safety: bool = True
+    # cap on the scalar consecutive-successes counter
+    # (termination_manager.py:336-338; cfg/task/BaseTask.yaml:81)
+    max_consecutive_successes: int = 50
 
     def validate(self, success_names, failure_names):
         """Fail fast if an active criterion has no implementation
@@ -52,8 +58,11 @@ class TerminationConfig:
 def builtin_failure_criteria(
     cfg: TerminationConfig, obs_dict: Dict[str, jnp.ndarray]
 ) -> Dict[str, jnp.ndarray]:
-    """`hitting_ground`: hand base or any fingertip below threshold
-    (step_processor.py:140-165)."""
+    """`hitting_ground`: hand base or any fingertip below threshold.
+    Only produced when the task configures height_safety — the reference
+    creates this criterion conditionally (step_processor.py:140-165)."""
+    if not cfg.has_height_safety:
+        return {}
     n = obs_dict["hand_pose"].shape[0]
     hand_z = obs_dict["hand_pose"][:, 2]
     tips = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)

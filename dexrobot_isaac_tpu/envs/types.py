@@ -32,8 +32,10 @@ class EnvState:
     contact_duration_steps: jnp.ndarray  # (N, n_contact) int32
     prev_contact_binary: jnp.ndarray     # (N, n_contact) float32
     episode_step_count: jnp.ndarray      # (N,) int32
-    body_contact_force: jnp.ndarray      # (N, B, 3) from last physics step
-    box_contact_force: jnp.ndarray       # (N, 3)
+    # from the last physics step; read back by eval-time diagnostics/render.
+    # (The box's net contact force is consumed fresh within the step and is
+    # deliberately NOT carried -- it had no reader.)
+    body_contact_force: jnp.ndarray      # (N, B, 3)
     # reward-calculator tracking (reward_calculator.py:50-54)
     prev_finger_dof_vel: jnp.ndarray   # (N, 20)
     prev_hand_vel: jnp.ndarray         # (N, 3)

@@ -84,6 +84,13 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         raise ValueError(
             f"Unknown task '{task_name}' (registered: {sorted(TASK_REGISTRY)})"
         )
+    # the env's hand spawn is the single source of truth for tasks whose
+    # geometry depends on it (e.g. InHandReorientation's pinch solve); an
+    # explicit task.hand_spawn still overrides
+    task_cfg = dict(task_cfg)
+    task_cfg.setdefault(
+        "hand_spawn", env_cfg.get("initialHandPos", [0.0, 0.0, 0.5])
+    )
     task = TASK_REGISTRY[task_name](task_cfg)
 
     model = build_hand_model()
@@ -143,6 +150,10 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         timeout_penalty=float(weights.get("termination_timeout_penalty", 0.0)),
         handbase_threshold=float(hs.get("handbase_threshold", 0.0)),
         fingertip_threshold=float(hs.get("fingertip_threshold", 0.0)),
+        has_height_safety="height_safety" in term,
+        max_consecutive_successes=int(
+            task_cfg.get("max_consecutive_successes", 50)
+        ),
     )
 
     comps = EnvComponents(

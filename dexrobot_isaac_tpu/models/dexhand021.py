@@ -39,6 +39,7 @@ docs/DESIGN_DECISIONS.md:44-73.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -224,6 +225,7 @@ def _rod_inertia(mass: float, length: float, radius: float) -> np.ndarray:
     return np.diag([ixx, iyy, izz])
 
 
+@functools.lru_cache(maxsize=1)
 def build_hand_model() -> HandModel:
     """Construct the canonical DexHand021 right-hand model."""
     B = NUM_DOFS
