@@ -323,3 +323,26 @@ class TestDeviceBreakdown:
             for t in ("success", "failure", "timeout")
         ]
         assert abs(sum(rates) - 1.0) < 1e-6
+
+
+class TestRotationShuffle:
+    def test_learning_with_rotation_shuffle(self):
+        """The sort-free rotation shuffle must still learn the toy task."""
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), shuffle="rotation",
+        )
+        learner = PPOLearner(cfg, toy_env_step, seed=0)
+        st = learner.init_state()
+        key = jax.random.key(2)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        rewards = []
+        for _ in range(60):
+            st, env_state, obs, metrics, _ = learner.train_iteration(
+                st, env_state, obs
+            )
+            rewards.append(float(metrics["reward_mean"]))
+        early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
+        assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"

@@ -119,6 +119,7 @@ def main(argv=None) -> int:
         units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
         network_dtype=str(get_by_path(cfg, "train.params.network.dtype", "float32")),
         reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
+        shuffle=str(tp.get("shuffle", "permutation")),
     )
     n_devices = len(jax.devices())
     distributed = n_devices > 1 and env.num_envs % n_devices == 0
