@@ -200,14 +200,34 @@ class DeviceBreakdown:
     comp_names: tuple
 
     @classmethod
-    def create(cls, roll_extras) -> "DeviceBreakdown":
+    def create(cls, roll_extras, comp_names=None) -> "DeviceBreakdown":
+        """`roll_extras` either carries the reward-component dict (env extras
+        parity form) or a pre-packed `reward_components_packed` (T, N, C)
+        array (the trainer's slimmed rollout extras; rl/ppo.py
+        `_slim_extras`) — in the packed case `comp_names` must be supplied
+        in the packing order."""
         import jax
         import jax.numpy as jnp
 
-        comps = roll_extras["reward_components"]
-        comp_names = tuple(sorted(comps))
-        n = comps[comp_names[0]].shape[1]
-        c = len(comp_names)
+        if "reward_components_packed" in roll_extras:
+            packed = roll_extras["reward_components_packed"]
+            if comp_names is None:
+                raise ValueError(
+                    "packed rollout extras require comp_names (the static "
+                    "packing order, e.g. PPOLearner.comp_names)"
+                )
+            comp_names = tuple(comp_names)
+            n, c = packed.shape[1], packed.shape[2]
+            if c != len(comp_names):
+                raise ValueError(
+                    f"comp_names has {len(comp_names)} entries but packed "
+                    f"extras carry {c} components"
+                )
+        else:
+            comps = roll_extras["reward_components"]
+            comp_names = tuple(sorted(comps))
+            n = comps[comp_names[0]].shape[1]
+            c = len(comp_names)
         state = {
             # per-env running episode accumulators
             "comp_acc": jnp.zeros((n, c), dtype=jnp.float32),
@@ -219,9 +239,13 @@ class DeviceBreakdown:
         }
 
         def update(st, extras):
-            comp_t = jnp.stack(
-                [extras["reward_components"][k] for k in comp_names], axis=-1
-            )  # (T, N, C)
+            if "reward_components_packed" in extras:
+                comp_t = extras["reward_components_packed"]  # (T, N, C)
+            else:
+                comp_t = jnp.stack(
+                    [extras["reward_components"][k] for k in comp_names],
+                    axis=-1,
+                )  # (T, N, C)
             masks = jnp.stack(
                 [extras["success"], extras["failure"], extras["timeout"]],
                 axis=-1,

@@ -261,12 +261,40 @@ class PPOLearner:
                 )
                 reward = reward + cfg.gamma * v_denorm * timeout
             t = Transition(obs, action, log_prob, value, reward, done, mu, sigma)
-            return (env_state, next_obs, key), (t, extras)
+            return (env_state, next_obs, key), (t, self._slim_extras(extras))
 
         (env_state, obs, key), (traj, extras) = jax.lax.scan(
             step, (env_state, obs, key), None, length=cfg.horizon_length
         )
         return env_state, obs, key, traj, extras
+
+    def _slim_extras(self, extras):
+        """Keep only the extras the training loop consumes, packing the
+        reward-component dict into ONE (N, C) array.
+
+        The env's extras tree carries ~50 leaves (component dict, per-reason
+        masks, rate scalars) for API parity with the reference's `extras`
+        (step_processor.py:221-232). Stacking all of them per rollout step
+        costs ~45 extra device kernels per step; everything the trainer uses
+        is the component values + the 3 termination masks (DeviceBreakdown),
+        so the rest is dropped here and dead-code-eliminated out of the
+        compiled rollout entirely. `self.comp_names` records the static
+        packing order (captured at trace time)."""
+        if "reward_components" in extras:
+            comp_names = tuple(sorted(extras["reward_components"]))
+            self.comp_names = comp_names
+            packed = jnp.stack(
+                [extras["reward_components"][k] for k in comp_names], axis=-1
+            )
+        else:  # synthetic envs in tests may not provide components
+            packed = None
+        slim = {
+            k: extras[k] for k in ("success", "failure", "timeout")
+            if k in extras
+        }
+        if packed is not None:
+            slim["reward_components_packed"] = packed
+        return slim
 
     def _gae(self, ppo: PPOState, traj: Transition, last_value):
         cfg = self.cfg

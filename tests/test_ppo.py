@@ -346,3 +346,102 @@ class TestRotationShuffle:
             rewards.append(float(metrics["reward_mean"]))
         early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
         assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+class TestPackedExtras:
+    """The trainer's slimmed rollout extras pack the reward-component dict
+    into one (T, N, C) array (rl/ppo.py _slim_extras); DeviceBreakdown must
+    accept that form and produce identical accounting to the dict form."""
+
+    def test_packed_matches_dict_accounting(self):
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        rng = np.random.default_rng(7)
+        T, N = 4, 8
+        comps = ["alive", "s1_x", "s2_y"]
+        kind = rng.integers(0, 6, size=(T, N))
+        dict_extras = {
+            "success": jnp.asarray(kind == 0),
+            "failure": jnp.asarray(kind == 1),
+            "timeout": jnp.asarray(kind == 2),
+            "reward_components": {
+                k: jnp.asarray(rng.normal(size=(T, N)).astype(np.float32))
+                for k in comps
+            },
+        }
+        comp_names = tuple(sorted(comps))
+        packed_extras = {
+            "success": dict_extras["success"],
+            "failure": dict_extras["failure"],
+            "timeout": dict_extras["timeout"],
+            "reward_components_packed": jnp.stack(
+                [dict_extras["reward_components"][k] for k in comp_names],
+                axis=-1,
+            ),
+        }
+
+        db_dict = DeviceBreakdown.create(dict_extras)
+        db_dict.update(dict_extras)
+        want = db_dict.fetch_and_reset(global_step=1)
+
+        db_packed = DeviceBreakdown.create(packed_extras, comp_names=comp_names)
+        db_packed.update(packed_extras)
+        got = db_packed.fetch_and_reset(global_step=1)
+
+        np.testing.assert_array_equal(
+            np.asarray(got["ep_count"]), np.asarray(want["ep_count"])
+        )
+        for k in comps:
+            np.testing.assert_allclose(
+                got["comp_sum"][k], want["comp_sum"][k], rtol=1e-6
+            )
+
+    def test_packed_requires_comp_names(self):
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        extras = {
+            "success": jnp.zeros((2, 4), dtype=bool),
+            "failure": jnp.zeros((2, 4), dtype=bool),
+            "timeout": jnp.zeros((2, 4), dtype=bool),
+            "reward_components_packed": jnp.zeros((2, 4, 3)),
+        }
+        with pytest.raises(ValueError, match="comp_names"):
+            DeviceBreakdown.create(extras)
+
+    def test_learner_rollout_packs_components(self):
+        """A rollout over an env whose extras carry reward_components must
+        emit the packed form and record comp_names on the learner."""
+
+        def env_step(state, actions):
+            key, obs = state
+            key, sub = jax.random.split(key)
+            reward = -jnp.sum(actions**2, axis=-1)
+            new_obs = jax.random.normal(sub, obs.shape)
+            done = jnp.zeros(obs.shape[0], dtype=bool)
+            extras = {
+                "timeout": jnp.zeros(obs.shape[0], dtype=bool),
+                "success": jnp.zeros(obs.shape[0], dtype=bool),
+                "failure": done,
+                "reward_components": {
+                    "alive": jnp.ones(obs.shape[0]),
+                    "effort": reward,
+                },
+            }
+            return (key, new_obs), new_obs, reward, done, extras
+
+        cfg = PPOConfig(
+            num_envs=NUM_ENVS, num_obs=NUM_OBS, num_actions=NUM_ACT,
+            horizon_length=3, minibatch_size=NUM_ENVS * 3, mini_epochs=1,
+        )
+        learner = PPOLearner(cfg, env_step, seed=0)
+        ppo = learner.init_state()
+        key = jax.random.PRNGKey(0)
+        env_state = (key, jnp.zeros((NUM_ENVS, NUM_OBS)))
+        obs = jnp.zeros((NUM_ENVS, NUM_OBS))
+        _, _, _, metrics, roll_extras = learner.train_iteration(
+            ppo, env_state, obs
+        )
+        assert learner.comp_names == ("alive", "effort")
+        assert "reward_components_packed" in roll_extras
+        assert roll_extras["reward_components_packed"].shape == (
+            3, NUM_ENVS, 2,
+        )
+        assert "reward_components" not in roll_extras

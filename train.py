@@ -280,7 +280,9 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
         # extras fetch every iteration throttled training ~10x over the
         # remote-TPU tunnel)
         if breakdown is None:
-            breakdown = DeviceBreakdown.create(roll_extras)
+            breakdown = DeviceBreakdown.create(
+                roll_extras, comp_names=getattr(learner, "comp_names", None)
+            )
         breakdown.update(roll_extras)
         if crossed(log_interval) or it == max_iters:
             m = {k: float(v) for k, v in metrics.items()}
