@@ -8,6 +8,14 @@ each env-step is one full control step (action pipeline -> 4 physics steps x
 substeps -> observations/rewards/termination -> masked auto-reset), the same
 unit the reference's PhysX pipeline steps at.
 
+Two production step paths are timed and the best wins (both are
+parity-tested against each other, tests/test_fused_step.py):
+  - "xla": the functional step (envs/dexhand.py) — physics in one Pallas
+    kernel, post-physics as ~140 XLA kernels;
+  - "fused": the whole control step as ONE Pallas kernel
+    (envs/fused_step.py), the default training path on TPU.
+DEXHAND_BENCH_PATH=xla|fused|best (default best) restricts the choice.
+
 The reference publishes no numbers (BASELINE.md): its only quantitative claim
 is "thousands of parallel hands at 60+ FPS on a single GPU"
 (docs/DESIGN_DECISIONS.md:166). We take 4096 envs x 60 steps/s = 245,760
@@ -16,6 +24,7 @@ vs_baseline against it.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -55,40 +64,66 @@ def main() -> int:
     # never under-count device work.
     CHUNK = 16
 
-    def run_chunk(state):
-        def body(s, _):
-            s, o, r, d, _e = env.step_fn(s, actions)
-            return s, None
-        state, _ = jax.lax.scan(body, state, None, length=CHUNK)
-        return state
+    def make_chunked(step_fn):
+        def run_chunk(state):
+            def body(s, _):
+                s, o, r, d, _e = step_fn(s, actions)
+                return s, None
+            state, _ = jax.lax.scan(body, state, None, length=CHUNK)
+            return state
+        return jax.jit(run_chunk, donate_argnums=0)
 
-    chunked = jax.jit(run_chunk, donate_argnums=0)
-    probe_step = jax.jit(env.step_fn, donate_argnums=0)
+    # path name -> (chunked runner, carried state, sync leaf)
+    runners = {"xla": [make_chunked(env.step_fn), state, lambda s: s.physics.q]}
+    path = os.environ.get("DEXHAND_BENCH_PATH", "best")
+    if path in ("best", "fused") and jax.default_backend() == "tpu":
+        try:
+            fused = env.make_fused()
+            fs, _ = fused.reset(jax.random.key(0))
+            runners["fused"] = [
+                make_chunked(fused.step_fn), fs, lambda s: s.rows_f
+            ]
+        except Exception as e:  # FusedUnsupported or compile failure
+            print(f"fused path unavailable: {e}", file=sys.stderr)
+    if path == "fused" and "fused" in runners:
+        del runners["xla"]
 
-    # warmup: compile both programs
-    state = chunked(state)
-    jax.block_until_ready(state.physics.q)
+    probe_step = jax.jit(env.step_fn)
+
+    # warmup: compile every program
+    for r in runners.values():
+        r[1] = r[0](r[1])
+        jax.block_until_ready(r[2](r[1]))
 
     REPS = 5
     n_chunks = max(1, steps // CHUNK)
     steps = n_chunks * CHUNK
-    best_dt = float("inf")
+    best_dt = {name: float("inf") for name in runners}
+    # interleave paths within each rep so load swings hit both equally
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            state = chunked(state)
-        jax.block_until_ready(state.physics.q)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        for name, r in runners.items():
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                r[1] = r[0](r[1])
+            jax.block_until_ready(r[2](r[1]))
+            best_dt[name] = min(best_dt[name], time.perf_counter() - t0)
 
-    # finiteness probe (outside the timed windows)
+    # finiteness probe on the reference step (outside the timed windows)
     state, obs, rew, done, _ = probe_step(state, actions)
     if not bool(jnp.isfinite(obs).all() & jnp.isfinite(rew).all()):
         raise RuntimeError("benchmark produced non-finite observations/rewards")
 
-    env_steps_per_s = num_envs * steps / best_dt
+    per_path = {n: num_envs * steps / dt for n, dt in best_dt.items()}
+    winner = min(best_dt, key=best_dt.get)
+    env_steps_per_s = per_path[winner]
     baseline = 245760.0  # 4096 envs x 60 FPS, docs/DESIGN_DECISIONS.md:166
+    if len(per_path) > 1:
+        print(
+            "paths: " + " ".join(f"{n}={v:,.0f}" for n, v in per_path.items()),
+            file=sys.stderr,
+        )
     print(json.dumps({
-        "metric": f"env-steps/s/chip (BlindGrasping, {num_envs} envs)",
+        "metric": f"env-steps/s/chip (BlindGrasping, {num_envs} envs, {winner})",
         "value": round(env_steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(env_steps_per_s / baseline, 3),

@@ -468,6 +468,24 @@ class DexHandEnv:
         return state, obs_buf
 
     # ------------------------------------------------------------------
+    # fused single-kernel step (envs/fused_step.py)
+    # ------------------------------------------------------------------
+    def make_fused(self, block: Optional[int] = None, interpret: bool = False,
+                   backend: str = "pallas"):
+        """Build the fused single-Pallas-kernel step for this env. Returns a
+        namespace with `step_fn(FusedEnvState, actions)`, `pack`/`unpack`
+        (EnvState <-> FusedEnvState), `reset(key)`, and `comp_names` (the
+        reward-component packing order). Raises
+        fused_step.FusedUnsupported when this configuration has no lane
+        implementation — callers fall back to `step_fn` (the XLA reference
+        path, which this kernel is parity-tested against)."""
+        from dexrobot_isaac_tpu.envs.fused_step import build_fused_step
+
+        return build_fused_step(
+            self, block=block, interpret=interpret, backend=backend
+        )
+
+    # ------------------------------------------------------------------
     # stateful API (reference Env ABC surface, vec_task.py:44-170)
     # ------------------------------------------------------------------
     def reset(self):

@@ -149,3 +149,27 @@ class DexTask:
     pre_action_rule = None     # fn(active_prev_targets, obs_dict) -> (N, 18)
     custom_action_rule = None
     custom_post_filters: Tuple = ()
+
+    # --- fused-kernel lane hook (envs/fused_step.py) ----------------------
+    def lane_step(self, ctx):
+        """Lane-vector equivalent of `compute_step` for the fused env-step
+        Pallas kernel: all values are tuples of (B,) lane arrays (plain jnp
+        math — the same function traces inside the kernel and in CPU parity
+        tests). The base task contributes nothing, matching its trivial
+        `compute_step`. Tasks that override `compute_step` MUST also
+        override `lane_step` (or the fused path refuses to build,
+        envs/fused_step.py _check_supported) — the two are parity-tested
+        against each other.
+
+        `ctx` carries: obs (default obs lane dict), ts (task-state lane
+        dict), box_pos/quat/linvel/angvel, box_contact_force, q, qd, dvel,
+        control_dt, zero (a zero lane), reset_box_pos/quat (this step's
+        sampled reset values, for reset_ts). Returns a namespace with
+        task_obs, ts_new, success, failure, rewards (lane dicts) and
+        reset_ts (lane values merged into done envs)."""
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            task_obs={}, ts_new={}, success={}, failure={}, rewards={},
+            reset_ts={},
+        )

@@ -391,6 +391,229 @@ class BlindGraspingTask(DexTask):
         return r
 
     # ------------------------------------------------------------------
+    def lane_step(self, ctx):
+        """Lane-vector `compute_step` for the fused env-step kernel
+        (envs/fused_step.py). Mirrors `compute_step` above term for term;
+        tests/test_fused_step.py asserts the two paths agree."""
+        from types import SimpleNamespace
+
+        f32 = jnp.float32
+        obs_d = ctx.obs
+        ts = ctx.ts
+        dt = ctx.control_dt
+        zero = ctx.zero
+        box_pos = ctx.box_pos
+        box_vel = ctx.box_linvel
+
+        def sub3(a, b):
+            return tuple(x - y for x, y in zip(a, b))
+
+        def norm(v):
+            return jnp.sqrt(sum(x * x for x in v))
+
+        obs = {}
+        obs["object_pos"] = box_pos
+        obs["object_vel"] = box_vel
+
+        pads = [
+            obs_d["fingerpad_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        d_f2o = tuple(norm(sub3(p, box_pos)) for p in pads)
+        obs["finger_to_object_distances"] = d_f2o
+        obs["avg_finger_to_object_distance"] = (sum(d_f2o) / 5.0,)
+        hdiff = tuple(jnp.abs(p[2] - box_pos[2]) for p in pads)
+        obs["finger_to_object_height_diff"] = hdiff
+        obs["avg_finger_to_object_height_diff"] = (sum(hdiff) / 5.0,)
+        hand_pos = obs_d["hand_pose"][:3]
+        h2o = norm(sub3(hand_pos, box_pos))
+        obs["hand_to_object_distance"] = (h2o,)
+
+        # 10 pairwise fingerpad distances in jnp.triu_indices(5, 1) order
+        obs["fingerpad_distances"] = tuple(
+            norm(sub3(pads[i], pads[j]))
+            for i in range(5) for j in range(i + 1, 5)
+        )
+        centroid = tuple(
+            (pads[0][k] + pads[1][k] + pads[2][k]) / 3.0 for k in range(3)
+        )
+        obs["first_three_fingerpad_centroid"] = centroid
+
+        # heuristic finger-box contact (tasks/api.py detect_finger_box_contacts)
+        box_has = norm(ctx.box_contact_force) > self.contact_binary_threshold
+        prox_thr = math.sqrt(3.0) * self.box_size / 2.0 * 1.2
+        fingc = [obs_d["contact_binary"][i] > 0.5 for i in range(5)]
+        fb = [fingc[i] & box_has & (d_f2o[i] < prox_thr) for i in range(5)]
+        thumb_contact = fb[0]
+        other_contact = fb[1] | fb[2] | fb[3] | fb[4]
+        grasp_state = thumb_contact & other_contact
+        obs["thumb_contact"] = (thumb_contact.astype(f32),)
+        obs["other_fingers_contact"] = (other_contact.astype(f32),)
+        obs["grasp_state"] = (grasp_state.astype(f32),)
+
+        num_on_box = sum(b.astype(jnp.int32) for b in fb)
+        height_ok = box_pos[2] > self.height_threshold
+        cond = height_ok & (num_on_box >= self.min_fingers_for_grasp)
+        steps = jnp.where(cond, ts["success_duration_steps"][0] + 1, 0)
+        obs["grasp_duration"] = (steps.astype(f32) * dt,)
+
+        # stage FSM
+        stage = ts["current_stage"][0]
+        tis = ts["time_in_stage"][0] + dt
+        fc = [obs_d["contact_binary"][i] > 0.5 for i in range(5)]
+        thumb_and_other = fc[0] & (fc[1] | fc[2] | fc[3] | fc[4])
+        in_s2 = stage == 2
+        scd = jnp.where(
+            in_s2,
+            jnp.where(
+                thumb_and_other, ts["stage_contact_duration"][0] + dt, 0.0
+            ),
+            ts["stage_contact_duration"][0],
+        )
+        s1_complete = (stage == 1) & (tis >= self.stage1_duration)
+        s2_contact_ok = in_s2 & (scd >= self.stage2_contact_success_threshold)
+        s2_timeout = in_s2 & (tis >= self.stage2_duration)
+        s2_complete = s2_contact_ok | s2_timeout
+        just_t2 = s1_complete
+        just_t3 = s2_complete
+        stage = jnp.where(s1_complete, 2, stage)
+        stage = jnp.where(s2_complete, 3, stage)
+        tis = jnp.where(s1_complete | s2_complete, 0.0, tis)
+        scd = jnp.where(s1_complete | s2_complete, 0.0, scd)
+
+        obs["current_stage"] = (stage.astype(f32),)
+        obs["time_in_stage"] = (tis,)
+        progress = jnp.where(
+            stage == 1,
+            jnp.clip(tis / self.stage1_duration, 0.0, 1.0),
+            jnp.where(
+                stage == 2,
+                jnp.clip(tis / self.stage2_duration, 0.0, 1.0),
+                1.0,
+            ),
+        )
+        obs["stage_progress"] = (progress,)
+
+        # pregrasp quality + failures
+        hdiff3_ok = (
+            (hdiff[0] <= self.height_tolerance)
+            & (hdiff[1] <= self.height_tolerance)
+            & (hdiff[2] <= self.height_tolerance)
+        )
+        centroid_ok = norm(sub3(centroid, box_pos)) <= self.centroid_tolerance
+        drift = norm(sub3(box_pos, ts["initial_box_pos"]))
+        stability_ok = (drift <= self.position_drift_tolerance) & (
+            norm(box_vel) <= self.velocity_tolerance
+        )
+        pregrasp_ok = hdiff3_ok & centroid_ok & stability_ok
+        failures = {
+            "box_too_far": h2o > self.max_box_distance,
+            "stage1_pregrasp_failed": just_t2 & ~pregrasp_ok,
+            "stage2_contact_failed": just_t3 & ~grasp_state,
+            "stage3_grasp_lost": (stage == 3) & ~grasp_state,
+        }
+        threshold_steps = int(round(self.contact_duration_threshold / dt))
+        successes = {"grasp_lift_success": steps >= threshold_steps}
+
+        # rewards (stage-masked; mirrors _compute_rewards)
+        s1 = (stage == 1).astype(f32)
+        s2 = (stage == 2).astype(f32)
+        s3 = (stage == 3).astype(f32)
+        r = {}
+        r["s1_height_alignment"] = (
+            jnp.exp(-self.height_alignment_decay
+                    * obs["avg_finger_to_object_height_diff"][0]) * s1
+        )
+        centroid_dist = norm(sub3(centroid, box_pos))
+        r["s1_centroid_positioning"] = (
+            jnp.exp(-self.centroid_positioning_decay * centroid_dist) * s1
+        )
+        velmag = norm(box_vel)
+        r["s1_object_stability"] = (
+            jnp.exp(-self.object_stability_decay * (drift + velmag)) * s1
+        )
+        h3 = [pads[i][2] for i in range(3)]
+        hmean = (h3[0] + h3[1] + h3[2]) / 3.0
+        hvar = (
+            (h3[0] - hmean) ** 2 + (h3[1] - hmean) ** 2 + (h3[2] - hmean) ** 2
+        ) / 2.0  # unbiased (ddof=1) over 3 samples
+        r["s1_finger_height_consistency"] = (
+            jnp.exp(-self.first_three_height_consistency_decay * hvar) * s1
+        )
+        thumb_rot = obs_d["all_finger_dof_pos"][
+            DOF_INDEX["r_f_joint1_1"] - 6
+        ]
+        r["s1_thumb_rotation"] = (
+            jnp.exp(-5.0 * jnp.abs(thumb_rot - math.pi / 2)) * s1
+        )
+        r["s2_thumb_contact"] = thumb_contact.astype(f32) * s2
+        r["s2_other_fingers_contact"] = other_contact.astype(f32) * s2
+        r["s2_grasp_achievement"] = grasp_state.astype(f32) * s2
+        tips = [
+            obs_d["fingertip_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        tip_dist = [norm(sub3(t, box_pos)) for t in tips]
+        min_dist = tip_dist[0]
+        for d in tip_dist[1:]:
+            min_dist = jnp.minimum(min_dist, d)
+        min_reward_dist = self.box_size / 2.0 * self.proximity_min_distance_factor
+        safe_dist = jnp.maximum(min_dist, min_reward_dist)
+        r["s2_fingerpad_proximity"] = (
+            jnp.exp(-self.fingerpad_proximity_decay * safe_dist) * s2
+        )
+        base_vel_mag = norm(obs_d["base_dof_vel"])
+        r["s2_base_stability"] = (
+            jnp.exp(-self.base_stability_decay * base_vel_mag) * s2
+        )
+        height_above = box_pos[2] - self.box_z
+        r["s3_object_height"] = (
+            jnp.clip(
+                height_above / (self.height_threshold - self.box_z), 0.0, 1.0
+            ) * s3
+        )
+        r["s3_grasp_maintenance"] = grasp_state.astype(f32) * s3
+        r["s3_grasp_duration"] = (
+            jnp.clip(
+                obs["grasp_duration"][0] / self.contact_duration_threshold,
+                0.0, 1.0,
+            ) * s3
+        )
+        r["s1_completion"] = (
+            just_t2 & ~failures["stage1_pregrasp_failed"]
+        ).astype(f32)
+        r["s2_completion"] = (
+            just_t3 & ~failures["stage2_contact_failed"]
+        ).astype(f32)
+        threshold = self.box_size / 2.0 * self.geometric_penetration_factor
+        depth = jnp.clip(threshold - min_dist, 0.0, None)
+        r["penetration_penalty"] = depth * self.penetration_depth_scale
+
+        izero = jnp.zeros_like(stage)
+        ts_new = {
+            "success_duration_steps": (steps,),
+            "success_conditions_met": (cond,),
+            "current_stage": (stage,),
+            "time_in_stage": (tis,),
+            "stage_contact_duration": (scd,),
+            "just_transitioned_to_stage2": (just_t2,),
+            "just_transitioned_to_stage3": (just_t3,),
+            "initial_box_pos": ts["initial_box_pos"],
+        }
+        reset_ts = {
+            "success_duration_steps": (izero,),
+            "success_conditions_met": (izero,),
+            "current_stage": (jnp.ones_like(stage),),
+            "time_in_stage": (zero,),
+            "stage_contact_duration": (zero,),
+            "just_transitioned_to_stage2": (izero,),
+            "just_transitioned_to_stage3": (izero,),
+            "initial_box_pos": ctx.reset_box_pos,
+        }
+        return SimpleNamespace(
+            task_obs=obs, ts_new=ts_new, success=successes, failure=failures,
+            rewards=r, reset_ts=reset_ts,
+        )
+
+    # ------------------------------------------------------------------
     def reset_task(
         self, key, num_envs, default_dof_pos, difficulty=None
     ) -> TaskReset:

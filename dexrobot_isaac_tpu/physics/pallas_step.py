@@ -124,14 +124,15 @@ def _mat_t_vec(m9, v):
     )
 
 
-def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
-                       interpret: bool = False):
-    """Returns fn(q, qd, targets, spawn, box13, dr4) -> (q', qd', box13',
-    cf (N, B_bodies, 3), boxf (N, 3), kin: KinematicsOut) running
-    n_physics_steps * substeps substeps in one kernel call, then one final
-    FK pass for the observation path. All I/O arrays are env-major (N, ...)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def build_lane_sim(engine, n_physics_steps: int):
+    """Build the lane-vector simulator: `substep` (one integrator substep for
+    a block of envs, all values as tuples of (B,) lane arrays) and `fk_lane`
+    (FK + velocity propagation of a lane state), plus the static model
+    constants both need. Shared by the physics-only control-step kernel
+    below and the fused env-step kernel (envs/fused_step.py); the lane math
+    is plain jnp over (B,) arrays, so it also traces OUTSIDE pallas for
+    CPU-testable parity checks."""
+    from types import SimpleNamespace
 
     m = engine.model
     p = engine.params
@@ -597,6 +598,34 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         for i in range(nb):
             cf_flat.extend(cf[i])
         return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), box_f
+
+    return SimpleNamespace(
+        substep=substep,
+        fk_lane=fk_lane,
+        nb=nb,
+        nsite=nsite,
+        site_b=site_b,
+        sitep_c=sitep_c,
+        siteq_c=siteq_c,
+        kin_rows=kin_rows,
+        total_substeps=total_substeps,
+    )
+
+
+def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
+                       interpret: bool = False):
+    """Returns fn(q, qd, targets, spawn, box13, dr4) -> (q', qd', box13',
+    cf (N, B_bodies, 3), boxf (N, 3), kin: KinematicsOut) running
+    n_physics_steps * substeps substeps in one kernel call, then one final
+    FK pass for the observation path. All I/O arrays are env-major (N, ...)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim = build_lane_sim(engine, n_physics_steps)
+    substep, fk_lane = sim.substep, sim.fk_lane
+    nb, nsite, site_b = sim.nb, sim.nsite, sim.site_b
+    sitep_c, siteq_c = sim.sitep_c, sim.siteq_c
+    kin_rows, total_substeps = sim.kin_rows, sim.total_substeps
 
     def kernel(q_ref, qd_ref, tgt_ref, spawn_ref, box_ref, dr_ref,
                qo_ref, qdo_ref, boxo_ref, cfo_ref, boxfo_ref, kino_ref):

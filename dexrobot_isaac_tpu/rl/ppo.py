@@ -280,7 +280,13 @@ class PPOLearner:
         so the rest is dropped here and dead-code-eliminated out of the
         compiled rollout entirely. `self.comp_names` records the static
         packing order (captured at trace time)."""
-        if "reward_components" in extras:
+        if "reward_components_packed" in extras:
+            # fused-kernel env (envs/fused_step.py): components arrive
+            # already packed as (N, C); the packing order is the same
+            # sorted-key order (fused.comp_names — the caller sets
+            # self.comp_names from it before training starts)
+            packed = extras["reward_components_packed"]
+        elif "reward_components" in extras:
             comp_names = tuple(sorted(extras["reward_components"]))
             self.comp_names = comp_names
             packed = jnp.stack(

@@ -133,7 +133,30 @@ def main(argv=None) -> int:
         )
         learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed, axis_name=DATA_AXIS)
     else:
-        learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed)
+        # Fused single-Pallas-kernel env step (envs/fused_step.py): the whole
+        # control step — action pipeline, physics, obs, task, termination,
+        # rewards, masked auto-reset — in one kernel instead of ~140 XLA
+        # kernels. TPU-only (the kernel is a Pallas TPU program) and
+        # training-only (eval/video paths read EnvState internals).
+        # train.params.config.fused: auto (default) | on | off.
+        fused = None
+        fused_mode = str(tp.get("fused", "auto")).lower()
+        if (not test_mode and fused_mode != "off"
+                and jax.default_backend() == "tpu"):
+            try:
+                fused = env.make_fused()
+            except Exception as e:
+                if fused_mode == "on":
+                    raise
+                logger.info(f"Fused env-step unavailable ({e}); XLA step")
+        learner = PPOLearner(
+            ppo_cfg, fused.step_fn if fused is not None else env.step_fn,
+            seed=seed,
+        )
+        if fused is not None:
+            learner.comp_names = fused.comp_names
+            env._fused = fused
+            logger.info(f"Fused env-step kernel enabled (block {fused.block})")
     ppo = learner.init_state()
 
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
@@ -187,6 +210,10 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     saved_axis, env.axis_name = env.axis_name, None
     env_state, obs = env._reset_jit(jax.random.key(env._seed))
     env.axis_name = saved_axis
+    fused = getattr(env, "_fused", None)
+    if fused is not None:
+        # re-pack EnvState into the fused kernel's lane-major row layout
+        env_state = jax.jit(fused.pack)(env_state)
 
     if distributed:
         from dexrobot_isaac_tpu.parallel.distributed import make_sharded_train_step
