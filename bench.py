@@ -108,8 +108,14 @@ def main() -> int:
             jax.block_until_ready(r[2](r[1]))
             best_dt[name] = min(best_dt[name], time.perf_counter() - t0)
 
-    # finiteness probe on the reference step (outside the timed windows)
-    state, obs, rew, done, _ = probe_step(state, actions)
+    # finiteness probe on the reference step (outside the timed windows).
+    # NOTE: `state` was donated to the first chunked call — probe from a
+    # live carried state (or a fresh reset when only the fused path ran).
+    if "xla" in runners:
+        probe_state = runners["xla"][1]
+    else:
+        probe_state, _ = env._reset_jit(jax.random.key(0))
+    state, obs, rew, done, _ = probe_step(probe_state, actions)
     if not bool(jnp.isfinite(obs).all() & jnp.isfinite(rew).all()):
         raise RuntimeError("benchmark produced non-finite observations/rewards")
 
