@@ -20,6 +20,7 @@ from dexrobot_isaac_tpu.envs.dexhand import DexHandEnv, EnvComponents
 from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 from dexrobot_isaac_tpu.envs.tasks.base_task import BaseTask
 from dexrobot_isaac_tpu.envs.tasks.blind_grasping import BlindGraspingTask
+from dexrobot_isaac_tpu.envs.tasks.box_pushing import BoxPushingTask
 from dexrobot_isaac_tpu.envs.tasks.box_reorientation import BoxReorientationTask
 from dexrobot_isaac_tpu.envs.tasks.in_hand_reorientation import (
     InHandReorientationTask,
@@ -44,6 +45,7 @@ def _parse_dr(dr_cfg) -> Dict[str, Any] | None:
 TASK_REGISTRY: Dict[str, Type[DexTask]] = {
     "BaseTask": BaseTask,
     "BlindGrasping": BlindGraspingTask,
+    "BoxPushing": BoxPushingTask,
     "BoxReorientation": BoxReorientationTask,
     "InHandReorientation": InHandReorientationTask,
 }
