@@ -145,6 +145,11 @@ class DexHandEnv:
             state_like["prev_contact_binary"],
             state_like["episode_step_count"],
         )
+        # box2_contact_force is only passed to tasks in has_box2 scenes, so
+        # single-object task signatures stay untouched
+        extra_kwargs = {}
+        if state_like.get("box2_contact_force") is not None:
+            extra_kwargs["box2_contact_force"] = state_like["box2_contact_force"]
         tstep = c.task.compute_step(
             obs_dict,
             task_states,
@@ -153,6 +158,7 @@ class DexHandEnv:
             state_like["body_contact_force"],
             state_like["box_contact_force"],
             c.control_dt,
+            **extra_kwargs,
         )
         obs_dict.update(tstep.task_obs)
 
@@ -228,6 +234,7 @@ class DexHandEnv:
             "prev_actions": actions,
             "body_contact_force": info.body_contact_force,
             "box_contact_force": info.box_contact_force,
+            "box2_contact_force": info.box2_contact_force,
             "contact_duration_steps": state.contact_duration_steps,
             "prev_contact_binary": state.prev_contact_binary,
             "episode_step_count": state.episode_step_count,
@@ -314,6 +321,24 @@ class DexHandEnv:
             ),
             box_linvel=jnp.where(m1, 0.0, phys.box_linvel),
             box_angvel=jnp.where(m1, 0.0, phys.box_angvel),
+            box2_pos=(
+                jnp.where(m1, reset_vals.box2_pos, phys.box2_pos)
+                if phys.box2_pos is not None
+                and reset_vals.box2_pos is not None else phys.box2_pos
+            ),
+            box2_quat=(
+                jnp.where(m1, reset_vals.box2_quat, phys.box2_quat)
+                if phys.box2_quat is not None
+                and reset_vals.box2_quat is not None else phys.box2_quat
+            ),
+            box2_linvel=(
+                jnp.where(m1, 0.0, phys.box2_linvel)
+                if phys.box2_linvel is not None else None
+            ),
+            box2_angvel=(
+                jnp.where(m1, 0.0, phys.box2_angvel)
+                if phys.box2_angvel is not None else None
+            ),
         )
 
         if c.dr_ranges:
@@ -398,6 +423,20 @@ class DexHandEnv:
             ),
             box_linvel=jnp.zeros((n, 3), dtype=jnp.float32),
             box_angvel=jnp.zeros((n, 3), dtype=jnp.float32),
+            box2_pos=(
+                reset_vals.box2_pos if c.engine.params.has_box2 else None
+            ),
+            box2_quat=(
+                reset_vals.box2_quat if c.engine.params.has_box2 else None
+            ),
+            box2_linvel=(
+                jnp.zeros((n, 3), dtype=jnp.float32)
+                if c.engine.params.has_box2 else None
+            ),
+            box2_angvel=(
+                jnp.zeros((n, 3), dtype=jnp.float32)
+                if c.engine.params.has_box2 else None
+            ),
         )
         kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
         n_contact = c.obs_cfg.num_contact_bodies
@@ -412,6 +451,10 @@ class DexHandEnv:
             "prev_actions": jnp.zeros((n, c.num_actions), dtype=jnp.float32),
             "body_contact_force": jnp.zeros((n, b, 3), dtype=jnp.float32),
             "box_contact_force": jnp.zeros((n, 3), dtype=jnp.float32),
+            "box2_contact_force": (
+                jnp.zeros((n, 3), dtype=jnp.float32)
+                if c.engine.params.has_box2 else None
+            ),
             "contact_duration_steps": jnp.zeros((n, n_contact), dtype=jnp.int32),
             "prev_contact_binary": jnp.zeros((n, n_contact), dtype=jnp.float32),
             "episode_step_count": jnp.zeros((n,), dtype=jnp.int32),

@@ -447,6 +447,9 @@ def _check_supported(comps):
     from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 
     task, pl = comps.task, comps.pipeline
+    if comps.engine.params.has_box2:
+        # the lane state schema carries exactly one free body
+        raise FusedUnsupported("multi-object scene (has_box2)")
     if task.pre_action_rule is not None:
         raise FusedUnsupported("custom pre-action rule")
     if pl.custom_action_rule is not None or pl.custom_filters:

@@ -46,6 +46,9 @@ class TaskReset:
     box_pos: Optional[jnp.ndarray] = None     # (N, 3)
     box_quat: Optional[jnp.ndarray] = None    # (N, 4)
     task_states: Optional[Dict[str, jnp.ndarray]] = None
+    # second free body (SimParams.has_box2 scenes only)
+    box2_pos: Optional[jnp.ndarray] = None    # (N, 3)
+    box2_quat: Optional[jnp.ndarray] = None   # (N, 4)
 
 
 # ----------------------------------------------------------------------
@@ -117,6 +120,7 @@ class DexTask:
         body_contact_force: jnp.ndarray,
         box_contact_force: jnp.ndarray,
         control_dt: float,
+        box2_contact_force: Optional[jnp.ndarray] = None,
     ) -> TaskStep:
         return TaskStep(
             task_obs={},

@@ -1,0 +1,301 @@
+"""BoxStacking: grasp a cube and stack it on a platform cube.
+
+The first multi-object task — beyond the reference's single-free-object
+scenes (SURVEY §2.8; the reference's task API supports per-env extra actors
+through Isaac Gym, dexhand_env/tasks/task_interface.py create_task_objects,
+but neither shipped task uses more than one). Exercises the engine's second
+free body + cube-cube contact (physics/engine.py _corners_vs_box).
+
+Scene: the pick cube (primary box) spawns under the hand like BlindGrasping;
+the platform cube (box2) rests on the ground at a randomized direction and
+distance. The policy must grasp the pick cube, carry it over the platform,
+and set it down on top: success requires the pick cube centered over the
+platform within `position_tolerance`, at stacking height within
+`height_tolerance`, moving slower than `rest_speed_tolerance`, sustained for
+`hold_duration_threshold` seconds. Knocking the platform away
+(`platform_moved`) or losing the pick cube (`box_too_far`) are failures.
+
+Reset curriculum: with `curriculum.enabled`, the platform distance and the
+initial randomization amplitudes scale with the runtime difficulty scalar
+(tasks/api.py curriculum_scale).
+
+Runs on the XLA step path: multi-object scenes have no fused-kernel lane
+implementation (envs/fused_step.py declines has_box2 and the trainer falls
+back — the same fallback BoxReorientation/BoxPushing use).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from dexrobot_isaac_tpu.envs.tasks.api import (
+    DexTask,
+    TaskReset,
+    TaskStep,
+    curriculum_scale,
+    detect_finger_box_contacts,
+)
+from dexrobot_isaac_tpu.physics.types import SimParams
+
+
+class BoxStackingTask(DexTask):
+    name = "BoxStacking"
+
+    def __init__(self, task_cfg: Dict[str, Any]):
+        super().__init__(task_cfg)
+        c = task_cfg
+        box = c.get("box", {})
+        self.box_size = float(box.get("size", 0.05))
+        self.box_mass = float(box.get("mass", 0.1))
+        self.box_friction = float(box.get("friction", 1.0))
+        self.box_xy_range = float(
+            box.get("initial_position", {}).get("xy_range", 0.02)
+        )
+        self.box_z = float(box.get("initial_position", {}).get("z", 0.027))
+
+        plat = c.get("platform", {})
+        self.plat_size = float(plat.get("size", 0.08))
+        self.plat_mass = float(plat.get("mass", 0.5))
+        self.plat_friction = float(plat.get("friction", 1.2))
+        pd = plat.get("distance", {})
+        self.plat_dist_min = float(pd.get("min", 0.10))
+        self.plat_dist_max = float(pd.get("max", 0.16))
+
+        self.position_tolerance = float(c.get("position_tolerance", 0.02))
+        self.height_tolerance = float(c.get("height_tolerance", 0.015))
+        self.rest_speed_tolerance = float(c.get("rest_speed_tolerance", 0.1))
+        self.hold_duration_threshold = float(
+            c.get("hold_duration_threshold", 0.5)
+        )
+        self.box_far_threshold = float(c.get("box_far_threshold", 0.35))
+        self.platform_move_tolerance = float(
+            c.get("platform_move_tolerance", 0.05)
+        )
+        self.contact_binary_threshold = float(
+            c.get("contact_binary_threshold", 0.1)
+        )
+
+        rc = c.get("reward_calculation", {})
+        self.proximity_decay = float(rc.get("proximity_decay", 10.0))
+        self.transport_decay = float(rc.get("transport_decay", 8.0))
+        self.place_decay = float(rc.get("place_decay", 20.0))
+
+        self.hand_translation_range = float(
+            c.get("hand_translation_range", 0.05)
+        )
+        self.hand_rotation_range = float(c.get("hand_rotation_range", 0.2))
+        self.finger_range = float(
+            c.get("finger_randomization", {}).get("other_finger_range", 0.3)
+        )
+
+        cur = c.get("curriculum", {})
+        self.curriculum_enabled = bool(cur.get("enabled", False))
+        self.curriculum_min_fraction = float(cur.get("min_fraction", 0.4))
+
+        # stack target height: pick-cube center when resting on the platform
+        self.stack_z = self.plat_size + self.box_size / 2.0
+
+    # ------------------------------------------------------------------
+    def configure_scene(self, params: SimParams) -> SimParams:
+        import dataclasses
+
+        return dataclasses.replace(
+            params,
+            has_box=True,
+            box_size=self.box_size,
+            box_mass=self.box_mass,
+            box_friction=self.box_friction,
+            has_box2=True,
+            box2_size=self.plat_size,
+            box2_mass=self.plat_mass,
+            box2_friction=self.plat_friction,
+        )
+
+    def init_task_states(self, num_envs: int) -> Dict[str, jnp.ndarray]:
+        n = num_envs
+        return {
+            "platform_spawn_xy": jnp.zeros((n, 2), dtype=jnp.float32),
+            "hold_duration_steps": jnp.zeros(n, dtype=jnp.int32),
+            "prev_transport_dist": jnp.zeros(n, dtype=jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def compute_step(
+        self, obs_dict, task_states, physics, kin, body_contact_force,
+        box_contact_force, control_dt, box2_contact_force=None,
+    ) -> TaskStep:
+        n = physics.q.shape[0]
+        f32 = jnp.float32
+        ts = dict(task_states)
+        box_pos = physics.box_pos
+        box_vel = physics.box_linvel
+        plat_pos = physics.box2_pos
+
+        # stack target point: centered on the platform's top face
+        target = jnp.concatenate(
+            [plat_pos[:, :2], jnp.full((n, 1), 0.0, dtype=f32)], axis=-1
+        )
+        target = target.at[:, 2].set(plat_pos[:, 2] + (self.plat_size + self.box_size) / 2.0)
+        to_target = target - box_pos
+        transport_dist = jnp.linalg.norm(to_target, axis=-1)
+        xy_err = jnp.linalg.norm(to_target[:, :2], axis=-1)
+        z_err = jnp.abs(to_target[:, 2])
+        speed = jnp.linalg.norm(box_vel, axis=-1)
+
+        # ---------- task observations ----------
+        obs: Dict[str, jnp.ndarray] = {}
+        obs["object_pos"] = box_pos
+        obs["object_quat"] = physics.box_quat
+        obs["object_vel"] = box_vel
+        obs["platform_pos"] = plat_pos
+        obs["platform_quat"] = physics.box2_quat
+        obs["to_stack_target"] = to_target
+        obs["stack_dist"] = transport_dist[:, None]
+
+        pads = obs_dict["fingerpad_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        d_f2o = jnp.linalg.norm(pads - box_pos[:, None, :], axis=-1)
+        obs["finger_to_object_distances"] = d_f2o
+
+        fb_contact = detect_finger_box_contacts(
+            obs_dict, box_contact_force, box_pos, self.box_size,
+            self.contact_binary_threshold,
+        )
+        obs["fingers_on_box"] = fb_contact.astype(f32)
+
+        # ---------- stacked-state tracking ----------
+        stacked = (
+            (xy_err < self.position_tolerance)
+            & (z_err < self.height_tolerance)
+            & (speed < self.rest_speed_tolerance)
+        )
+        steps = jnp.where(stacked, ts["hold_duration_steps"] + 1, 0)
+        ts["hold_duration_steps"] = steps
+        obs["hold_duration"] = (steps.astype(f32) * control_dt)[:, None]
+
+        # ---------- criteria ----------
+        threshold_steps = int(
+            round(self.hold_duration_threshold / control_dt)
+        )
+        successes = {"stack_success": steps >= threshold_steps}
+        plat_moved = jnp.linalg.norm(
+            plat_pos[:, :2] - ts["platform_spawn_xy"], axis=-1
+        )
+        failures = {
+            "box_too_far": jnp.linalg.norm(
+                box_pos[:, :2], axis=-1
+            ) > self.box_far_threshold,
+            "platform_moved": plat_moved > self.platform_move_tolerance,
+        }
+
+        # ---------- rewards ----------
+        r: Dict[str, jnp.ndarray] = {}
+        r["fingerpad_proximity"] = jnp.exp(
+            -self.proximity_decay * d_f2o.min(axis=1)
+        )
+        n_on = fb_contact.sum(axis=1).astype(f32)
+        r["finger_contact"] = jnp.minimum(n_on, 3.0) / 3.0
+        # carrying: holding the cube off the ground
+        held = (n_on >= 2) & (box_pos[:, 2] > self.box_z + 0.02)
+        r["lift"] = held.astype(f32)
+        # transport shaping: exponential proximity to the stack point, gated
+        # on holding the cube so pushing it along the ground scores nothing
+        r["transport"] = held.astype(f32) * jnp.exp(
+            -self.transport_decay * transport_dist
+        )
+        # dense improvement term (potential difference, held or not: also
+        # rewards a settled cube sliding into place)
+        r["transport_delta"] = ts["prev_transport_dist"] - transport_dist
+        # placement: tight shaping near the stack pose, no grasp gate (the
+        # hand must RELEASE to finish, so the reward cannot require contact)
+        r["place"] = jnp.exp(-self.place_decay * (xy_err + z_err))
+        r["stacked_hold"] = stacked.astype(f32)
+        ts["prev_transport_dist"] = transport_dist
+
+        return TaskStep(
+            task_obs=obs,
+            task_states=ts,
+            success_criteria=successes,
+            failure_criteria=failures,
+            reward_terms=r,
+        )
+
+    # ------------------------------------------------------------------
+    def reset_task(
+        self, key, num_envs, default_dof_pos, difficulty=None
+    ) -> TaskReset:
+        n = num_envs
+        (
+            k_box, k_yaw, k_dir, k_dist, k_pyaw, k_trans, k_rot, k_fing,
+        ) = jax.random.split(key, 8)
+        f32 = jnp.float32
+
+        scale = curriculum_scale(
+            difficulty, self.curriculum_min_fraction, self.curriculum_enabled
+        )
+
+        # pick cube: under the hand, like BlindGrasping
+        xy = (jax.random.uniform(k_box, (n, 2)) * 2 - 1) * self.box_xy_range
+        box_pos = jnp.concatenate(
+            [xy, jnp.full((n, 1), self.box_z, dtype=f32)], axis=-1
+        )
+        yaw = (jax.random.uniform(k_yaw, (n,)) * 2 - 1) * math.pi * scale
+        box_quat = jnp.stack(
+            [jnp.zeros(n), jnp.zeros(n), jnp.sin(yaw / 2), jnp.cos(yaw / 2)],
+            axis=-1,
+        )
+
+        # platform cube: random direction, curriculum-scaled distance
+        theta = jax.random.uniform(k_dir, (n,)) * 2.0 * math.pi
+        mag = self.plat_dist_min + (
+            jax.random.uniform(k_dist, (n,))
+            * (self.plat_dist_max - self.plat_dist_min)
+        ) * scale
+        plat_xy = jnp.stack(
+            [mag * jnp.cos(theta), mag * jnp.sin(theta)], axis=-1
+        )
+        pyaw = (jax.random.uniform(k_pyaw, (n,)) * 2 - 1) * math.pi
+        box2_pos = jnp.concatenate(
+            [plat_xy, jnp.full((n, 1), self.plat_size / 2.0, dtype=f32)],
+            axis=-1,
+        )
+        box2_quat = jnp.stack(
+            [jnp.zeros(n), jnp.zeros(n), jnp.sin(pyaw / 2), jnp.cos(pyaw / 2)],
+            axis=-1,
+        )
+
+        # hand base + finger randomization (BlindGrasping-style amplitudes)
+        dof = jnp.tile(default_dof_pos[None], (n, 1))
+        trans = (
+            (jax.random.uniform(k_trans, (n, 3)) * 2 - 1)
+            * self.hand_translation_range * scale
+        )
+        rot = (
+            (jax.random.uniform(k_rot, (n, 3)) * 2 - 1)
+            * self.hand_rotation_range * scale
+        )
+        dof = dof.at[:, 0:3].set(trans).at[:, 3:6].set(rot)
+        fingers = jax.random.uniform(k_fing, (n, 20)) * self.finger_range * scale
+        dof = dof.at[:, 6:26].set(fingers)
+
+        ts = self.init_task_states(n)
+        ts["platform_spawn_xy"] = plat_xy
+        # same stack-point definition as compute_step: platform center z +
+        # (platform + cube)/2
+        stack_pt = box2_pos.at[:, 2].add(
+            (self.plat_size + self.box_size) / 2.0
+        )
+        ts["prev_transport_dist"] = jnp.linalg.norm(
+            stack_pt - box_pos, axis=-1
+        )
+        return TaskReset(
+            dof_pos=dof,
+            box_pos=box_pos,
+            box_quat=box_quat,
+            box2_pos=box2_pos,
+            box2_quat=box2_quat,
+            task_states=ts,
+        )

@@ -22,6 +22,7 @@ from dexrobot_isaac_tpu.envs.tasks.base_task import BaseTask
 from dexrobot_isaac_tpu.envs.tasks.blind_grasping import BlindGraspingTask
 from dexrobot_isaac_tpu.envs.tasks.box_pushing import BoxPushingTask
 from dexrobot_isaac_tpu.envs.tasks.box_reorientation import BoxReorientationTask
+from dexrobot_isaac_tpu.envs.tasks.box_stacking import BoxStackingTask
 from dexrobot_isaac_tpu.envs.tasks.in_hand_reorientation import (
     InHandReorientationTask,
 )
@@ -47,6 +48,7 @@ TASK_REGISTRY: Dict[str, Type[DexTask]] = {
     "BlindGrasping": BlindGraspingTask,
     "BoxPushing": BoxPushingTask,
     "BoxReorientation": BoxReorientationTask,
+    "BoxStacking": BoxStackingTask,
     "InHandReorientation": InHandReorientationTask,
 }
 

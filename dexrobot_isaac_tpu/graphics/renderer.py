@@ -59,6 +59,9 @@ class SceneRenderer:
         box_quat: Optional[np.ndarray] = None,
         contact_force_bodies: Optional[np.ndarray] = None,  # (B,) magnitudes
         title: str = "",
+        box2_pos: Optional[np.ndarray] = None,   # second free body
+        box2_quat: Optional[np.ndarray] = None,  # (multi-object scenes)
+        box2_size: Optional[float] = None,
     ) -> np.ndarray:
         """Render one env's state to an RGB uint8 frame (H, W, 3)."""
         self._ensure_fig()
@@ -94,6 +97,11 @@ class SceneRenderer:
 
         if box_pos is not None:
             self._draw_box(ax, np.asarray(box_pos), np.asarray(box_quat))
+        if box2_pos is not None:
+            self._draw_box(
+                ax, np.asarray(box2_pos), np.asarray(box2_quat),
+                size=box2_size, color=(0.9, 0.6, 0.2),
+            )
 
         # ground grid
         g = np.linspace(-0.3, 0.5, 5)
@@ -113,8 +121,8 @@ class SceneRenderer:
         buf = np.asarray(self._fig.canvas.buffer_rgba())
         return buf[..., :3].copy()
 
-    def _draw_box(self, ax, pos, quat):
-        h = self.box_size / 2
+    def _draw_box(self, ax, pos, quat, size=None, color=None):
+        h = (self.box_size if size is None else size) / 2
         corners = np.array(
             [[sx, sy, sz] for sx in (-h, h) for sy in (-h, h) for sz in (-h, h)]
         )
@@ -126,7 +134,10 @@ class SceneRenderer:
             (0, 4), (1, 5), (2, 6), (3, 7),
         ]
         for a, b in edges:
-            ax.plot(*zip(world[a], world[b]), color=self.box_color, lw=1.5)
+            ax.plot(
+                *zip(world[a], world[b]),
+                color=self.box_color if color is None else color, lw=1.5,
+            )
 
     def close(self):
         if self._fig is not None:

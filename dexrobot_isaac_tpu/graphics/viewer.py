@@ -100,6 +100,14 @@ class ViewerController:
             box_quat=np.asarray(physics.box_quat[e]),
             contact_force_bodies=cf,
             title=f"env {e} | {VIEW_MODES[self.view_mode_idx]}",
+            box2_pos=(
+                np.asarray(physics.box2_pos[e])
+                if physics.box2_pos is not None else None
+            ),
+            box2_quat=(
+                np.asarray(physics.box2_quat[e])
+                if physics.box2_quat is not None else None
+            ),
         )
         if self.streamer is not None:
             self.streamer.add_frame(frame)

@@ -61,6 +61,9 @@ class StepInfo:
 
     body_contact_force: jnp.ndarray  # (N, B, 3) net contact force per hand body
     box_contact_force: jnp.ndarray   # (N, 3) net contact force on the box
+    # net contact force on the optional second box (SimParams.has_box2);
+    # None in single-object scenes so the pytree/scan carry stays unchanged
+    box2_contact_force: jnp.ndarray | None = None
 
 
 def _skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -392,6 +395,10 @@ class HandPhysics:
         if p.has_box:
             # solid cube inertia is isotropic: I = m s^2 / 6 * eye(3)
             self._box_inertia = p.box_mass * p.box_size**2 / 6.0
+        if p.has_box2:
+            if not p.has_box:
+                raise ValueError("SimParams.has_box2 requires has_box")
+            self._box2_inertia = p.box2_mass * p.box2_size**2 / 6.0
         self.substep_dt = p.dt / p.substeps
 
     # ------------------------------------------------------------------
@@ -533,11 +540,185 @@ class HandPhysics:
         ft = -vt / (vt_norm[..., None] + 1e-6) * ft_mag[..., None]
         return fn_mag[..., None] * normal + ft
 
+    def _sphere_box(
+        self, sp, sv, box_pos, box_quat, box_linvel, box_angvel,
+        half, box_mass, box_inertia, mu, g_kick,
+    ):
+        """Hand collision spheres vs one free cube (op-for-op the math the
+        fused Pallas kernel reproduces for the primary box). Returns
+        (force on spheres (S,3), force on box (3,), torque on box (3,))."""
+        r = self._sphere_radius
+        Rb = qm.quat_to_rotmat(box_quat)
+        # sphere centers in box frame
+        local = (sp - box_pos) @ Rb          # == Rb^T @ (sp - c)
+        closest = jnp.clip(local, -half, half)
+        d = local - closest
+        dist = jnp.linalg.norm(d, axis=-1)
+        outside = dist > 1e-9
+        n_out = d / (dist[:, None] + 1e-9)
+        # sphere center inside the box: push out through nearest face
+        face_gap = half - jnp.abs(local)              # (S,3) >= 0 inside
+        min_ax = jnp.argmin(face_gap, axis=-1)
+        sign = jnp.sign(
+            jnp.take_along_axis(local, min_ax[:, None], axis=-1)[:, 0]
+        )
+        n_in = jax.nn.one_hot(min_ax, 3, dtype=sp.dtype) * jnp.where(
+            sign == 0.0, 1.0, sign
+        )[:, None]
+        depth_out = r - dist
+        depth_in = r + jnp.take_along_axis(face_gap, min_ax[:, None], axis=-1)[:, 0]
+        n_local = jnp.where(outside[:, None], n_out, n_in)
+        depth_b = jnp.where(outside, depth_out, depth_in)
+        n_world = n_local @ Rb.T
+        surf_local = jnp.where(outside[:, None], closest, local)
+        p_c = box_pos + surf_local @ Rb.T
+        v_boxpt = box_linvel + jnp.cross(box_angvel, p_c - box_pos)
+        rel = sv - v_boxpt
+        # predicted relative velocity: the box gains gravity's velocity
+        # increment this substep; folding it in lets the impulse bound
+        # express static support/friction (see _penalty_force docstring)
+        rel_pred = rel - g_kick
+        # contact effective mass including the box's rotational response
+        # (the sequential-impulse "normal mass"); without the |r x n|^2/I
+        # term a light box picks up unbounded spin from offset impacts.
+        # The box's linear inverse mass is shared across the contacts
+        # active this substep (same role as the /4 for ground corners):
+        # otherwise n simultaneous contacts deliver n times the stopping
+        # impulse and the box rattles out of a multi-finger grasp.
+        r_c = p_c - box_pos
+        share = jnp.maximum(
+            jnp.sum((depth_b > 0.0).astype(sp.dtype)), 1.0
+        )
+        ang_n = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
+        m_red_n = 1.0 / (
+            1.0 / self._sphere_meff + share / box_mass + ang_n
+        )
+        # friction's lever arm is along the (predicted) slip tangent
+        vn_p = jnp.sum(rel_pred * n_world, axis=-1)
+        vt_p = rel_pred - vn_p[:, None] * n_world
+        t_hat = vt_p / (
+            jnp.linalg.norm(vt_p, axis=-1, keepdims=True) + 1e-9
+        )
+        ang_t = jnp.sum(jnp.cross(r_c, t_hat) ** 2, axis=-1) / box_inertia
+        m_red_t = 1.0 / (
+            1.0 / self._sphere_meff + share / box_mass + ang_t
+        )
+        f_box = self._penalty_force(
+            depth_b, n_world, rel_pred, mu, m_red_n, m_red_t
+        )
+        react = -f_box
+        return (
+            f_box,
+            jnp.sum(react, axis=0),
+            jnp.sum(jnp.cross(p_c - box_pos, react), axis=0),
+        )
+
+    _CORNER_SIGNS = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=np.float32,
+    )
+
+    def _box_ground(
+        self, box_pos, box_quat, box_linvel, box_angvel,
+        half, box_mass, box_inertia, mu, g_kick,
+    ):
+        """One free cube's corners vs the ground plane. Returns
+        (force on box (3,), torque on box (3,))."""
+        Rb = qm.quat_to_rotmat(box_quat)
+        corners_l = jnp.asarray(self._CORNER_SIGNS, dtype=box_pos.dtype) * half
+        corners_w = box_pos + corners_l @ Rb.T
+        vc = box_linvel + jnp.cross(box_angvel, corners_w - box_pos)
+        n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
+        r_c8 = corners_w - box_pos
+        ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / box_inertia
+        # linear part /4: a resting box loads ~4 corners simultaneously.
+        # Corner velocity is gravity-predicted for the same static-support
+        # reason as in _sphere_box (box is the FIRST body here, so the kick
+        # adds).
+        m_corner = 1.0 / (4.0 / box_mass + ang8)
+        vc_pred = vc + g_kick
+        f_c = self._penalty_force(
+            -corners_w[:, 2], n_up8, vc_pred, mu, m_corner
+        )
+        return (
+            jnp.sum(f_c, axis=0),
+            jnp.sum(jnp.cross(corners_w - box_pos, f_c), axis=0),
+        )
+
+    def _corners_vs_box(
+        self,
+        pos_a, quat_a, lin_a, ang_a, half_a, mass_a, inertia_a,
+        pos_b, quat_b, lin_b, ang_b, half_b, mass_b, inertia_b,
+        mu,
+    ):
+        """Corners of free cube A vs free cube B (vertex narrowphase).
+
+        A corner of A penetrating B generates a penalty contact pushing A
+        out along B's nearest face normal. Returns (force on A, torque on A,
+        force on B, torque on B). Edge-edge contact is not modeled — the
+        same class of approximation as the hand's collision-sphere
+        decomposition; face-face stacking manifests as 4 corner contacts,
+        which is the configuration multi-object tasks exercise.
+        """
+        RA = qm.quat_to_rotmat(quat_a)
+        RB = qm.quat_to_rotmat(quat_b)
+        corners_w = pos_a + (
+            jnp.asarray(self._CORNER_SIGNS, dtype=pos_a.dtype) * half_a
+        ) @ RA.T                                            # (8,3)
+        local = (corners_w - pos_b) @ RB                    # B-frame
+        face_gap = half_b - jnp.abs(local)                  # (8,3); >0 inside
+        depth = jnp.min(face_gap, axis=-1)                  # >0 iff inside B
+        min_ax = jnp.argmin(face_gap, axis=-1)
+        sign = jnp.sign(
+            jnp.take_along_axis(local, min_ax[:, None], axis=-1)[:, 0]
+        )
+        n_local = jax.nn.one_hot(min_ax, 3, dtype=pos_a.dtype) * jnp.where(
+            sign == 0.0, 1.0, sign
+        )[:, None]
+        n_world = n_local @ RB.T                            # out of B, toward A
+        r_a = corners_w - pos_a
+        r_b = corners_w - pos_b
+        v_a = lin_a + jnp.cross(ang_a, r_a)
+        v_b = lin_b + jnp.cross(ang_b, r_b)
+        # both bodies receive the same gravity kick, so the predicted
+        # relative velocity equals the current one (static support between
+        # the boxes comes from the spring term at equilibrium penetration)
+        rel = v_a - v_b
+        share = jnp.maximum(
+            jnp.sum((depth > 0.0).astype(pos_a.dtype)), 1.0
+        )
+        ang_na = jnp.sum(jnp.cross(r_a, n_world) ** 2, axis=-1) / inertia_a
+        ang_nb = jnp.sum(jnp.cross(r_b, n_world) ** 2, axis=-1) / inertia_b
+        m_red = 1.0 / (
+            share / mass_a + ang_na + share / mass_b + ang_nb
+        )
+        f = self._penalty_force(depth, n_world, rel, mu, m_red)  # on A
+        return (
+            jnp.sum(f, axis=0),
+            jnp.sum(jnp.cross(r_a, f), axis=0),
+            -jnp.sum(f, axis=0),
+            jnp.sum(jnp.cross(r_b, -f), axis=0),
+        )
+
+    def _box_box(self, a, b, half_a, mass_a, inertia_a, half_b, mass_b,
+                 inertia_b, mu):
+        """Symmetric cube-cube contact: corners of each box against the
+        other. `a`/`b` are (pos, quat, linvel, angvel) tuples. Returns
+        (force_a, torque_a, force_b, torque_b)."""
+        fa1, ta1, fb1, tb1 = self._corners_vs_box(
+            *a, half_a, mass_a, inertia_a, *b, half_b, mass_b, inertia_b, mu
+        )
+        fb2, tb2, fa2, ta2 = self._corners_vs_box(
+            *b, half_b, mass_b, inertia_b, *a, half_a, mass_a, inertia_a, mu
+        )
+        return fa1 + fa2, ta1 + ta2, fb1 + fb2, tb1 + tb2
+
     def _contacts(self, kin: KinematicsOut, state: PhysicsState, dr: DRSample):
         """All contact forces for one world.
 
         Returns (sphere_force (S,3), sphere_point (S,3),
-                 box_force (3,), box_torque (3,), box_plane_force (3,)).
+                 box_force (3,), box_torque (3,),
+                 box2_force (3,) | None, box2_torque (3,) | None).
         """
         p = self.params
         sb = self._sphere_body
@@ -582,112 +763,76 @@ class HandPhysics:
 
         box_force = jnp.zeros(3, dtype=sp.dtype)
         box_torque = jnp.zeros(3, dtype=sp.dtype)
-        box_plane_force = jnp.zeros(3, dtype=sp.dtype)
+        box2_force = None
+        box2_torque = None
 
         if p.has_box:
-            h = p.box_size / 2.0
-            Rb = qm.quat_to_rotmat(state.box_quat)
-            # sphere centers in box frame
-            local = (sp - state.box_pos) @ Rb          # == Rb^T @ (sp - c)
-            closest = jnp.clip(local, -h, h)
-            d = local - closest
-            dist = jnp.linalg.norm(d, axis=-1)
-            outside = dist > 1e-9
-            n_out = d / (dist[:, None] + 1e-9)
-            # sphere center inside the box: push out through nearest face
-            face_gap = h - jnp.abs(local)              # (S,3) >= 0 inside
-            min_ax = jnp.argmin(face_gap, axis=-1)
-            sign = jnp.sign(
-                jnp.take_along_axis(local, min_ax[:, None], axis=-1)[:, 0]
-            )
-            n_in = jax.nn.one_hot(min_ax, 3, dtype=sp.dtype) * jnp.where(
-                sign == 0.0, 1.0, sign
-            )[:, None]
-            depth_out = r - dist
-            depth_in = r + jnp.take_along_axis(face_gap, min_ax[:, None], axis=-1)[:, 0]
-            n_local = jnp.where(outside[:, None], n_out, n_in)
-            depth_b = jnp.where(outside, depth_out, depth_in)
-            n_world = n_local @ Rb.T
-            surf_local = jnp.where(outside[:, None], closest, local)
-            p_c = state.box_pos + surf_local @ Rb.T
-            v_boxpt = state.box_linvel + jnp.cross(
-                state.box_angvel, p_c - state.box_pos
-            )
-            rel = sv - v_boxpt
-            # predicted relative velocity: the box gains gravity's velocity
-            # increment this substep; folding it in lets the impulse bound
-            # express static support/friction (see _penalty_force docstring)
             g_kick = jnp.array(
                 [0.0, 0.0, p.gravity * self.substep_dt], dtype=sp.dtype
             )
-            rel_pred = rel - g_kick
-            mu_hb = 0.5 * (p.hand_friction + p.box_friction) * dr.friction_scale
-            # contact effective mass including the box's rotational response
-            # (the sequential-impulse "normal mass"); without the |r x n|^2/I
-            # term a light box picks up unbounded spin from offset impacts.
-            # The box's linear inverse mass is shared across the contacts
-            # active this substep (same role as the /4 for ground corners):
-            # otherwise n simultaneous contacts deliver n times the stopping
-            # impulse and the box rattles out of a multi-finger grasp.
-            r_c = p_c - state.box_pos
             box_mass = p.box_mass * dr.box_mass_scale
             box_inertia = self._box_inertia * dr.box_mass_scale
-            share = jnp.maximum(
-                jnp.sum((depth_b > 0.0).astype(sp.dtype)), 1.0
-            )
-            ang_n = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
-            m_red_n = 1.0 / (
-                1.0 / self._sphere_meff + share / box_mass + ang_n
-            )
-            # friction's lever arm is along the (predicted) slip tangent
-            vn_p = jnp.sum(rel_pred * n_world, axis=-1)
-            vt_p = rel_pred - vn_p[:, None] * n_world
-            t_hat = vt_p / (
-                jnp.linalg.norm(vt_p, axis=-1, keepdims=True) + 1e-9
-            )
-            ang_t = jnp.sum(jnp.cross(r_c, t_hat) ** 2, axis=-1) / box_inertia
-            m_red_t = 1.0 / (
-                1.0 / self._sphere_meff + share / box_mass + ang_t
-            )
-            f_box = self._penalty_force(
-                depth_b, n_world, rel_pred, mu_hb, m_red_n, m_red_t
+            mu_hb = 0.5 * (p.hand_friction + p.box_friction) * dr.friction_scale
+            f_box, bf, bt = self._sphere_box(
+                sp, sv, state.box_pos, state.box_quat,
+                state.box_linvel, state.box_angvel,
+                p.box_size / 2.0, box_mass, box_inertia, mu_hb, g_kick,
             )
             sphere_force = sphere_force + f_box
-            react = -f_box
-            box_force = jnp.sum(react, axis=0)
-            box_torque = jnp.sum(jnp.cross(p_c - state.box_pos, react), axis=0)
+            box_force = box_force + bf
+            box_torque = box_torque + bt
 
             # --- box corners vs ground plane ---
-            corners_l = (
-                jnp.array(
-                    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-                    dtype=sp.dtype,
-                )
-                * h
-            )
-            corners_w = state.box_pos + corners_l @ Rb.T
-            vc = state.box_linvel + jnp.cross(
-                state.box_angvel, corners_w - state.box_pos
-            )
             mu_bg = 0.5 * (p.box_friction + p.ground_friction) * dr.friction_scale
-            n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
-            r_c8 = corners_w - state.box_pos
-            ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / box_inertia if p.has_box else 0.0
-            # linear part /4: a resting box loads ~4 corners simultaneously.
-            # Corner velocity is gravity-predicted for the same static-support
-            # reason as above (box is the FIRST body here, so the kick adds).
-            m_corner = 1.0 / (4.0 / box_mass + ang8)
-            vc_pred = vc + g_kick
-            f_c = self._penalty_force(
-                -corners_w[:, 2], n_up8, vc_pred, mu_bg, m_corner
+            bf, bt = self._box_ground(
+                state.box_pos, state.box_quat,
+                state.box_linvel, state.box_angvel,
+                p.box_size / 2.0, box_mass, box_inertia, mu_bg, g_kick,
             )
-            box_plane_force = jnp.sum(f_c, axis=0)
-            box_force = box_force + box_plane_force
-            box_torque = box_torque + jnp.sum(
-                jnp.cross(corners_w - state.box_pos, f_c), axis=0
-            )
+            box_force = box_force + bf
+            box_torque = box_torque + bt
 
-        return sphere_force, sp, box_force, box_torque
+        if p.has_box2:
+            # second free cube: hand contact, ground contact, and cube-cube
+            # contact against the primary box. DR mass scaling is shared
+            # with the primary box (one scale per env).
+            box2_mass = p.box2_mass * dr.box_mass_scale
+            box2_inertia = self._box2_inertia * dr.box_mass_scale
+            mu_hb2 = 0.5 * (p.hand_friction + p.box2_friction) * dr.friction_scale
+            f_b2, b2f, b2t = self._sphere_box(
+                sp, sv, state.box2_pos, state.box2_quat,
+                state.box2_linvel, state.box2_angvel,
+                p.box2_size / 2.0, box2_mass, box2_inertia, mu_hb2, g_kick,
+            )
+            sphere_force = sphere_force + f_b2
+            box2_force = b2f
+            box2_torque = b2t
+
+            mu_b2g = 0.5 * (p.box2_friction + p.ground_friction) * dr.friction_scale
+            bf, bt = self._box_ground(
+                state.box2_pos, state.box2_quat,
+                state.box2_linvel, state.box2_angvel,
+                p.box2_size / 2.0, box2_mass, box2_inertia, mu_b2g, g_kick,
+            )
+            box2_force = box2_force + bf
+            box2_torque = box2_torque + bt
+
+            mu_bb = 0.5 * (p.box_friction + p.box2_friction) * dr.friction_scale
+            fa, ta, fb, tb = self._box_box(
+                (state.box_pos, state.box_quat,
+                 state.box_linvel, state.box_angvel),
+                (state.box2_pos, state.box2_quat,
+                 state.box2_linvel, state.box2_angvel),
+                p.box_size / 2.0, box_mass, box_inertia,
+                p.box2_size / 2.0, box2_mass, box2_inertia,
+                mu_bb,
+            )
+            box_force = box_force + fa
+            box_torque = box_torque + ta
+            box2_force = box2_force + fb
+            box2_torque = box2_torque + tb
+
+        return sphere_force, sp, box_force, box_torque, box2_force, box2_torque
 
     # ------------------------------------------------------------------
     # substep / step
@@ -698,7 +843,9 @@ class HandPhysics:
         kin = self.fk(state.q, state.qd, spawn_pos)
         S = self._motion_subspace(kin)
 
-        sphere_force, sphere_pt, box_f, box_t = self._contacts(kin, state, dr)
+        sphere_force, sphere_pt, box_f, box_t, box2_f, box2_t = self._contacts(
+            kin, state, dr
+        )
 
         # spatial forces about world origin, accumulated per hand body
         n_contact = jnp.cross(sphere_pt, sphere_force)            # (S,3)
@@ -733,28 +880,50 @@ class HandPhysics:
         qd_new = jnp.where(low_hit & (qd_new < 0), 0.0, qd_new)
         qd_new = jnp.where(high_hit & (qd_new > 0), 0.0, qd_new)
 
-        if p.has_box:
-            box_mass = p.box_mass * dr.box_mass_scale
-            inv_i = 1.0 / (self._box_inertia * dr.box_mass_scale)
-            lin = state.box_linvel + hdt * (
-                box_f / box_mass + jnp.array([0.0, 0.0, p.gravity], dtype=box_f.dtype)
+        def integrate_box(pos0, quat0, lin0, ang0, f, t, mass, inertia):
+            lin = lin0 + hdt * (
+                f / mass + jnp.array([0.0, 0.0, p.gravity], dtype=f.dtype)
             )
-            ang = state.box_angvel + hdt * inv_i * box_t  # isotropic cube inertia
+            ang = ang0 + hdt * (1.0 / inertia) * t  # isotropic cube inertia
             # PhysX-style velocity caps (PhysX defaults maxAngularVelocity ~64)
             lin_n = jnp.linalg.norm(lin)
             lin = lin * jnp.minimum(1.0, 10.0 / (lin_n + 1e-9))
             ang_n = jnp.linalg.norm(ang)
             ang = ang * jnp.minimum(1.0, 64.0 / (ang_n + 1e-9))
-            pos = state.box_pos + hdt * lin
-            quat = qm.quat_integrate(state.box_quat, ang, hdt)
+            pos = pos0 + hdt * lin
+            quat = qm.quat_integrate(quat0, ang, hdt)
+            return pos, quat, lin, ang
+
+        if p.has_box:
+            box_mass = p.box_mass * dr.box_mass_scale
+            pos, quat, lin, ang = integrate_box(
+                state.box_pos, state.box_quat, state.box_linvel,
+                state.box_angvel, box_f, box_t, box_mass,
+                self._box_inertia * dr.box_mass_scale,
+            )
             new_state = PhysicsState(q_new, qd_new, pos, quat, lin, ang)
+            if p.has_box2:
+                pos2, quat2, lin2, ang2 = integrate_box(
+                    state.box2_pos, state.box2_quat, state.box2_linvel,
+                    state.box2_angvel, box2_f, box2_t,
+                    p.box2_mass * dr.box_mass_scale,
+                    self._box2_inertia * dr.box_mass_scale,
+                )
+                new_state = dataclasses.replace(
+                    new_state, box2_pos=pos2, box2_quat=quat2,
+                    box2_linvel=lin2, box2_angvel=ang2,
+                )
         else:
             new_state = dataclasses.replace(state, q=q_new, qd=qd_new)
 
         body_cf = jax.ops.segment_sum(
             sphere_force, self._sphere_body, self.model.num_bodies
         )
-        return new_state, StepInfo(body_contact_force=body_cf, box_contact_force=box_f)
+        return new_state, StepInfo(
+            body_contact_force=body_cf,
+            box_contact_force=box_f,
+            box2_contact_force=box2_f,
+        )
 
     def step_single(
         self,
@@ -782,6 +951,10 @@ class HandPhysics:
         zero_info = StepInfo(
             body_contact_force=jnp.zeros((self.model.num_bodies, 3), dtype=state.q.dtype),
             box_contact_force=jnp.zeros(3, dtype=state.q.dtype),
+            box2_contact_force=(
+                jnp.zeros(3, dtype=state.q.dtype)
+                if self.params.has_box2 else None
+            ),
         )
         (state, info), _ = jax.lax.scan(
             body, (state, zero_info), None, length=self.params.substeps
@@ -819,6 +992,10 @@ class HandPhysics:
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if self.params.has_box2:
+            # the fused kernel's lane state schema carries exactly one free
+            # body; multi-object scenes run the XLA path (ROADMAP.md)
+            use_pallas = False
 
         if use_pallas:
             from dexrobot_isaac_tpu.physics.pallas_step import build_control_step
@@ -861,6 +1038,10 @@ class HandPhysics:
                     (n, self.model.num_bodies, 3), dtype=state.q.dtype
                 ),
                 box_contact_force=jnp.zeros((n, 3), dtype=state.q.dtype),
+                box2_contact_force=(
+                    jnp.zeros((n, 3), dtype=state.q.dtype)
+                    if self.params.has_box2 else None
+                ),
             )
             (state, info), _ = jax.lax.scan(
                 body, (state, zero_info), None, length=n_physics_steps

@@ -31,6 +31,13 @@ class PhysicsState:
     box_quat: jnp.ndarray     # (N, 4) xyzw
     box_linvel: jnp.ndarray   # (N, 3)
     box_angvel: jnp.ndarray   # (N, 3)
+    # optional SECOND free body (SimParams.has_box2); None in single-object
+    # scenes so the pytree stays minimal and the single-box compiled paths
+    # (incl. the fused Pallas kernels) are untouched
+    box2_pos: Optional[jnp.ndarray] = None     # (N, 3)
+    box2_quat: Optional[jnp.ndarray] = None    # (N, 4) xyzw
+    box2_linvel: Optional[jnp.ndarray] = None  # (N, 3)
+    box2_angvel: Optional[jnp.ndarray] = None  # (N, 3)
 
 
 @jax.tree_util.register_dataclass
@@ -111,6 +118,15 @@ class SimParams:
     box_size: float = 0.05
     box_mass: float = 0.1
     box_friction: float = 1.0
+    # optional second free box (multi-object scenes, e.g. stacking). The
+    # reference supports arbitrary per-env task actors through Isaac Gym
+    # (task_interface.py create_task_objects); here multi-object scenes add
+    # cubes to the analytic contact set. Requires has_box. Runs on the XLA
+    # engine path (the fused single-box Pallas kernels decline this config).
+    has_box2: bool = False
+    box2_size: float = 0.08
+    box2_mass: float = 0.5
+    box2_friction: float = 1.0
     hand_friction: float = 1.0
     ground_friction: float = 1.0
 

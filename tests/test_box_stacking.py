@@ -1,0 +1,242 @@
+"""BoxStacking task-logic unit tests against hand-computed values.
+
+Drives `compute_step` directly with synthetic observations/states (no physics
+in the loop): stack-point math, hold tracking, criteria, reward gating,
+curriculum scaling, and reset randomization. A real 2-env step through the
+multi-body engine runs at the bottom (the physics itself is covered by
+tests/test_physics_multibody.py).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexrobot_isaac_tpu.envs.tasks.box_stacking import BoxStackingTask
+from dexrobot_isaac_tpu.physics.types import PhysicsState
+
+N = 4
+DT = 0.04
+S1, S2 = 0.05, 0.08
+STACK_Z = S2 + S1 / 2  # 0.105
+
+
+@pytest.fixture(scope="module")
+def task():
+    return BoxStackingTask({
+        "box": {"size": S1, "initial_position": {"xy_range": 0.02, "z": 0.027}},
+        "platform": {"size": S2, "mass": 0.5},
+        "contact_binary_threshold": 0.1,
+    })
+
+
+def make_physics(box_pos=None, box_vel=None, plat_pos=None):
+    z = jnp.zeros
+    plat_default = np.tile([0.2, 0.0, S2 / 2], (N, 1)).astype(np.float32)
+    return PhysicsState(
+        q=z((N, 26)), qd=z((N, 26)),
+        box_pos=jnp.asarray(box_pos, jnp.float32) if box_pos is not None
+        else z((N, 3)),
+        box_quat=z((N, 4)).at[:, 3].set(1.0),
+        box_linvel=jnp.asarray(box_vel, jnp.float32) if box_vel is not None
+        else z((N, 3)),
+        box_angvel=z((N, 3)),
+        box2_pos=jnp.asarray(
+            plat_pos if plat_pos is not None else plat_default, jnp.float32
+        ),
+        box2_quat=z((N, 4)).at[:, 3].set(1.0),
+        box2_linvel=z((N, 3)),
+        box2_angvel=z((N, 3)),
+    )
+
+
+def make_obs(pad_positions=None, contact_binary=None):
+    pads = np.zeros((N, 5, 7), np.float32)
+    if pad_positions is not None:
+        pads[:, :, :3] = pad_positions
+    pads[:, :, 6] = 1.0
+    return {
+        "fingerpad_poses_world": jnp.asarray(pads.reshape(N, 35)),
+        "contact_binary": (
+            jnp.asarray(contact_binary) if contact_binary is not None
+            else jnp.zeros((N, 5))
+        ),
+    }
+
+
+def run_step(task, obs, ts, physics, box_cf=None):
+    return task.compute_step(
+        obs, ts, physics, None, jnp.zeros((N, 26, 3)),
+        box_cf if box_cf is not None else jnp.zeros((N, 3)), DT,
+        box2_contact_force=jnp.zeros((N, 3)),
+    )
+
+
+def stacked_physics():
+    """Pick cube perfectly stacked on the platform at [0.2, 0]."""
+    return make_physics(
+        box_pos=np.tile([0.2, 0.0, STACK_Z], (N, 1))
+    )
+
+
+class TestStackDetectionAndCriteria:
+    def test_hold_counts_and_success_fires(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(
+            jnp.asarray([0.2, 0.0]), (N, 1)
+        )
+        phys = stacked_physics()
+        obs = make_obs()
+        threshold_steps = int(round(task.hold_duration_threshold / DT))
+        for i in range(threshold_steps):
+            step = run_step(task, obs, ts, phys)
+            ts = step.task_states
+            assert int(ts["hold_duration_steps"][0]) == i + 1
+        assert bool(step.success_criteria["stack_success"][0])
+
+    def test_offset_or_moving_does_not_hold(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        obs = make_obs()
+        # off-center beyond tolerance
+        off = make_physics(box_pos=np.tile([0.2 + 0.04, 0.0, STACK_Z], (N, 1)))
+        step = run_step(task, obs, ts, off)
+        assert int(step.task_states["hold_duration_steps"][0]) == 0
+        # centered but still moving
+        moving = make_physics(
+            box_pos=np.tile([0.2, 0.0, STACK_Z], (N, 1)),
+            box_vel=np.tile([0.3, 0.0, 0.0], (N, 1)),
+        )
+        step = run_step(task, obs, ts, moving)
+        assert int(step.task_states["hold_duration_steps"][0]) == 0
+        # on the GROUND next to the platform (right xy, wrong height)
+        grounded = make_physics(box_pos=np.tile([0.2, 0.0, S1 / 2], (N, 1)))
+        step = run_step(task, obs, ts, grounded)
+        assert int(step.task_states["hold_duration_steps"][0]) == 0
+
+    def test_failures(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        obs = make_obs()
+        far = make_physics(box_pos=np.tile([0.5, 0.0, 0.025], (N, 1)))
+        step = run_step(task, obs, ts, far)
+        assert bool(step.failure_criteria["box_too_far"][0])
+        # platform knocked away from its spawn
+        plat_moved = make_physics(
+            box_pos=np.tile([0.0, 0.0, 0.025], (N, 1)),
+            plat_pos=np.tile([0.3, 0.0, S2 / 2], (N, 1)),
+        )
+        step = run_step(task, obs, ts, plat_moved)
+        assert bool(step.failure_criteria["platform_moved"][0])
+
+
+class TestRewards:
+    def test_transport_gated_on_holding(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        # cube held mid-air between spawn and platform
+        pos = np.tile([0.1, 0.0, 0.12], (N, 1))
+        phys = make_physics(box_pos=pos)
+        # not held: no contact -> transport = 0
+        step = run_step(task, make_obs(), ts, phys)
+        assert float(step.reward_terms["transport"][0]) == 0.0
+        assert float(step.reward_terms["lift"][0]) == 0.0
+        # held: 3 fingers in contact at the cube + box contact force
+        pads = np.tile([0.1, 0.0, 0.12], (N, 5, 1))
+        contact = np.zeros((N, 5), np.float32)
+        contact[:, :3] = 1.0
+        obs = make_obs(pad_positions=pads, contact_binary=contact)
+        cf = jnp.ones((N, 3))
+        step = run_step(task, obs, ts, phys, box_cf=cf)
+        assert float(step.reward_terms["lift"][0]) == 1.0
+        assert float(step.reward_terms["transport"][0]) > 0.0
+
+    def test_place_peaks_at_stack_pose(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        obs = make_obs()
+        at = run_step(task, obs, ts, stacked_physics())
+        near = run_step(
+            task, obs, ts,
+            make_physics(box_pos=np.tile([0.2, 0.03, STACK_Z], (N, 1))),
+        )
+        assert float(at.reward_terms["place"][0]) == pytest.approx(1.0)
+        assert float(near.reward_terms["place"][0]) < 1.0
+
+    def test_transport_delta_rewards_progress(self, task):
+        ts = task.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        ts["prev_transport_dist"] = jnp.full((N,), 0.2)
+        obs = make_obs()
+        # now 0.105 above ground at the platform: closer than 0.2 before
+        step = run_step(task, obs, ts, stacked_physics())
+        assert float(step.reward_terms["transport_delta"][0]) > 0.0
+
+
+class TestReset:
+    def test_reset_distributions(self, task):
+        r = task.reset_task(jax.random.key(0), 512, jnp.zeros(26))
+        plat = np.asarray(r.box2_pos)
+        d = np.linalg.norm(plat[:, :2], axis=-1)
+        assert d.min() >= task.plat_dist_min - 1e-6
+        assert d.max() <= task.plat_dist_max + 1e-6
+        np.testing.assert_allclose(plat[:, 2], S2 / 2, atol=1e-6)
+        # pick cube near origin at rest height
+        box = np.asarray(r.box_pos)
+        assert np.abs(box[:, :2]).max() <= task.box_xy_range + 1e-6
+        # prev_transport_dist starts at the true initial distance
+        stack_pt = plat.copy()
+        stack_pt[:, 2] = S2 + S1 / 2
+        expect = np.linalg.norm(stack_pt - box, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(r.task_states["prev_transport_dist"]), expect,
+            rtol=1e-5,
+        )
+
+    def test_curriculum_scales_platform_distance(self):
+        t = BoxStackingTask({
+            "box": {"size": S1}, "platform": {"size": S2},
+            "curriculum": {"enabled": True, "min_fraction": 0.4},
+        })
+        easy = t.reset_task(
+            jax.random.key(1), 512, jnp.zeros(26),
+            difficulty=jnp.asarray(0.0),
+        )
+        hard = t.reset_task(
+            jax.random.key(1), 512, jnp.zeros(26),
+            difficulty=jnp.asarray(1.0),
+        )
+        d_easy = np.linalg.norm(np.asarray(easy.box2_pos)[:, :2], axis=-1)
+        d_hard = np.linalg.norm(np.asarray(hard.box2_pos)[:, :2], axis=-1)
+        # min distance is not scaled away; the random spread is
+        assert d_easy.max() < d_hard.max()
+        assert d_easy.min() >= t.plat_dist_min - 1e-6
+
+
+class TestEnvIntegration:
+    def test_env_builds_and_steps(self):
+        from dexrobot_isaac_tpu.envs.fused_step import FusedUnsupported
+        from dexrobot_isaac_tpu.factory import make_env
+        from dexrobot_isaac_tpu.utils.config import load_config
+
+        cfg = load_config(["task=BoxStacking", "numEnvs=2"])
+        env = make_env(cfg)
+        assert env.num_actions == 18
+        for key in ("platform_pos", "to_stack_target", "fingers_on_box"):
+            assert key in env.obs_slices
+        # multi-object scenes refuse the fused kernel and fall back
+        with pytest.raises(FusedUnsupported):
+            env.make_fused()
+        obs = env.reset()
+        assert np.isfinite(np.asarray(obs)).all()
+        for _ in range(3):
+            obs, rew, done, extras = env.step(
+                jnp.zeros((2, env.num_actions))
+            )
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(np.asarray(rew)).all()
+        # both free bodies are live in the state
+        assert env.state.physics.box2_pos is not None
+        assert np.isfinite(np.asarray(env.state.physics.box2_pos)).all()

@@ -471,6 +471,15 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
                         _np.asarray(env_state.body_contact_force[0]), axis=-1
                     ),
                     title=f"games {games}",
+                    box2_pos=(
+                        _np.asarray(env_state.physics.box2_pos[0])
+                        if env_state.physics.box2_pos is not None else None
+                    ),
+                    box2_quat=(
+                        _np.asarray(env_state.physics.box2_quat[0])
+                        if env_state.physics.box2_quat is not None else None
+                    ),
+                    box2_size=env.comps.engine.params.box2_size,
                 )
                 if recorder is not None:
                     recorder.add_frame(frame)
