@@ -200,6 +200,21 @@ class DexHandEnv:
             )
         return obs_dict, obs_buf, tstep, active_rule, new_duration, contact_binary
 
+    def _check_reset_vals(self, reset_vals) -> None:
+        """Fail fast (at build/trace time) when the scene has a second free
+        body but the task's reset_task omits its pose: silently falling
+        through would leave reset envs with the platform at its current
+        (possibly knocked-over) pose while velocities are zeroed — and the
+        initial reset would build an inconsistent PhysicsState (None box2
+        pose with zeroed box2 velocities) that crashes in the engine."""
+        if self.comps.engine.params.has_box2 and (
+            reset_vals.box2_pos is None or reset_vals.box2_quat is None
+        ):
+            raise ValueError(
+                f"task {self.comps.task.name!r} configures a has_box2 scene "
+                "but reset_task did not provide box2_pos/box2_quat"
+            )
+
     def step_fn(self, state: EnvState, actions: jnp.ndarray):
         c = self.comps
         n = state.physics.q.shape[0]  # LOCAL batch under shard_map
@@ -302,6 +317,7 @@ class DexHandEnv:
         reset_vals = c.task.reset_task(
             reset_key, n, self._default_dof, difficulty=state.difficulty
         )
+        self._check_reset_vals(reset_vals)
         done = should_reset
         m1 = done[:, None]
 
@@ -409,6 +425,7 @@ class DexHandEnv:
         reset_vals = c.task.reset_task(
             task_key, n, self._default_dof, difficulty=difficulty
         )
+        self._check_reset_vals(reset_vals)
 
         phys = PhysicsState(
             q=reset_vals.dof_pos,

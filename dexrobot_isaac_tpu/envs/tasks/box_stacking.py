@@ -96,9 +96,6 @@ class BoxStackingTask(DexTask):
         self.curriculum_enabled = bool(cur.get("enabled", False))
         self.curriculum_min_fraction = float(cur.get("min_fraction", 0.4))
 
-        # stack target height: pick-cube center when resting on the platform
-        self.stack_z = self.plat_size + self.box_size / 2.0
-
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
         import dataclasses
@@ -165,12 +162,18 @@ class BoxStackingTask(DexTask):
             self.contact_binary_threshold,
         )
         obs["fingers_on_box"] = fb_contact.astype(f32)
+        n_on_i = fb_contact.sum(axis=1)
 
         # ---------- stacked-state tracking ----------
+        # released gate: success requires the hand to have LET GO of the
+        # cube — without it a policy could hover-hold the grasped cube at
+        # the stack pose for hold_duration_threshold and "succeed" without
+        # ever placing it (mirrors how lift/transport are gated on `held`)
         stacked = (
             (xy_err < self.position_tolerance)
             & (z_err < self.height_tolerance)
             & (speed < self.rest_speed_tolerance)
+            & (n_on_i == 0)
         )
         steps = jnp.where(stacked, ts["hold_duration_steps"] + 1, 0)
         ts["hold_duration_steps"] = steps
@@ -196,7 +199,7 @@ class BoxStackingTask(DexTask):
         r["fingerpad_proximity"] = jnp.exp(
             -self.proximity_decay * d_f2o.min(axis=1)
         )
-        n_on = fb_contact.sum(axis=1).astype(f32)
+        n_on = n_on_i.astype(f32)
         r["finger_contact"] = jnp.minimum(n_on, 3.0) / 3.0
         # carrying: holding the cube off the ground
         held = (n_on >= 2) & (box_pos[:, 2] > self.box_z + 0.02)

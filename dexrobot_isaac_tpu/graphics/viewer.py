@@ -34,9 +34,11 @@ class ViewerController:
         on_reset_env: Optional[Callable[[int], None]] = None,
         on_toggle_random_actions: Optional[Callable[[], None]] = None,
         streamer=None,
+        box2_size: Optional[float] = None,
     ):
         self.renderer = renderer
         self.num_envs = num_envs
+        self.box2_size = box2_size
         self.on_reset_env = on_reset_env
         self.on_toggle_random_actions = on_toggle_random_actions
         self.streamer = streamer
@@ -108,6 +110,7 @@ class ViewerController:
                 np.asarray(physics.box2_quat[e])
                 if physics.box2_quat is not None else None
             ),
+            box2_size=self.box2_size,
         )
         if self.streamer is not None:
             self.streamer.add_frame(frame)

@@ -71,6 +71,16 @@ def load_checkpoint(path: str, ppo_state: PPOState) -> PPOState:
     )
 
 
+def load_checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Read only the metadata dict of a checkpoint (iteration, reward,
+    curriculum difficulty, ...). Used on resume so host-side controller
+    state — e.g. the reset-curriculum difficulty — continues where the
+    saved run left off instead of restarting at initial_difficulty."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    return dict(payload.get("meta", {}) or {})
+
+
 class HotReloadMonitor:
     """Background thread polling a checkpoint file's mtime; invokes a callback
     with the new path when it changes (parity: HotReloadManager,

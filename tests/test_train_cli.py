@@ -60,6 +60,40 @@ class TestTrainCLI:
         )
         assert rc == 0
 
+    def test_resume_restores_curriculum_difficulty(self, runs_dir):
+        """Checkpoints persist the reset-curriculum difficulty and a resumed
+        run continues there instead of restarting at initial_difficulty."""
+        import train as train_mod
+        from dexrobot_isaac_tpu.rl.checkpoint import load_checkpoint_meta
+
+        cur = [
+            "task.curriculum.enabled=true",
+            "task.curriculum.initial_difficulty=0.55",
+            # promotion threshold > 1 so the difficulty never moves
+            "task.curriculum.promote_success_rate=2.0",
+        ]
+        rc = train_mod.main(BASE_ARGS + ["maxIterations=2"] + cur)
+        assert rc == 0
+        runs_all = os.path.join(runs_dir, "runs_all")
+        run = sorted(os.listdir(runs_all))[-1]
+        meta = load_checkpoint_meta(
+            os.path.join(runs_all, run, "nn", "latest.ckpt")
+        )
+        assert abs(float(meta["difficulty"]) - 0.55) < 1e-9
+        # resume with a different initial_difficulty: the saved value wins
+        rc = train_mod.main(BASE_ARGS + [
+            "maxIterations=1", "checkpoint=latest",
+            "task.curriculum.enabled=true",
+            "task.curriculum.initial_difficulty=0.1",
+            "task.curriculum.promote_success_rate=2.0",
+        ])
+        assert rc == 0
+        run2 = sorted(os.listdir(runs_all))[-1]
+        meta2 = load_checkpoint_meta(
+            os.path.join(runs_all, run2, "nn", "latest.ckpt")
+        )
+        assert abs(float(meta2["difficulty"]) - 0.55) < 1e-9
+
     def test_chunked_dispatch(self, runs_dir):
         """dispatch_chunk > 1 scans iterations inside one program; logging,
         checkpoints, and the breakdown reducer operate at chunk granularity."""

@@ -160,21 +160,27 @@ def main(argv=None) -> int:
     ppo = learner.init_state()
 
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
+    resume_meta = None
     if ckpt_spec:
+        from dexrobot_isaac_tpu.rl.checkpoint import load_checkpoint_meta
+
         path = resolve_checkpoint(
             str(ckpt_spec), base_dir=os.environ.get("DEXHAND_RUNS_DIR", ".")
         )
         logger.info(f"Loading checkpoint: {path}")
         ppo = load_checkpoint(path, ppo)
+        resume_meta = load_checkpoint_meta(path)
 
     if test_mode:
         if distributed:
             env.axis_name = None  # evaluation runs single-program
         return run_test(cfg, env, learner, ppo, run_dir, logger)
-    return run_train(cfg, env, learner, ppo, run_dir, logger, distributed)
+    return run_train(cfg, env, learner, ppo, run_dir, logger, distributed,
+                     resume_meta=resume_meta)
 
 
-def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int:
+def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
+              resume_meta=None) -> int:
     import jax
     import numpy as np
 
@@ -264,6 +270,14 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
     difficulty = (
         float(cur_cfg.get("initial_difficulty", 0.0)) if cur_enabled else 1.0
     )
+    if cur_enabled and resume_meta and "difficulty" in resume_meta:
+        # resumed run continues at the saved difficulty instead of
+        # restarting the curriculum from initial_difficulty
+        difficulty = float(resume_meta["difficulty"])
+        env_state = _dc.replace(
+            env_state, difficulty=jnp.asarray(difficulty, jnp.float32)
+        )
+        logger.info(f"Resumed curriculum difficulty: {difficulty:.2f}")
     cur_inc = float(cur_cfg.get("increment", 0.15))
     cur_thresh = float(cur_cfg.get("promote_success_rate", 0.3))
     cur_min_episodes = int(cur_cfg.get("min_episodes", 500))
@@ -360,13 +374,14 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False) -> int
                 best_reward = m["reward_mean"]
                 save_checkpoint(
                     os.path.join(nn_dir, f"{task_name}_best.ckpt"), ppo,
-                    {"iteration": it, "reward": best_reward},
+                    {"iteration": it, "reward": best_reward,
+                     "difficulty": difficulty},
                 )
         if crossed(save_freq) or it == max_iters:
             path = os.path.join(nn_dir, f"{task_name}_ep{it}.ckpt")
-            save_checkpoint(path, ppo, {"iteration": it})
-            save_checkpoint(os.path.join(nn_dir, "latest.ckpt"), ppo,
-                            {"iteration": it})
+            meta = {"iteration": it, "difficulty": difficulty}
+            save_checkpoint(path, ppo, meta)
+            save_checkpoint(os.path.join(nn_dir, "latest.ckpt"), ppo, meta)
             logger.info(f"Saved checkpoint: {path}")
     if writer:
         writer.close()
