@@ -415,12 +415,23 @@ class DexHandEnv:
             )
         return new_state, obs_buf, rew, done, extras
 
-    def reset_fn(self, key: jax.Array):
+    def reset_fn(self, key: jax.Array, num_envs: Optional[int] = None):
         """Full reset of all envs + initial observation
-        (dexhand_base.py:805-838)."""
+        (dexhand_base.py:805-838).
+
+        `num_envs` overrides the batch size for per-shard construction under
+        shard_map (parallel/distributed.py make_sharded_reset): each process
+        builds only its local slice of the global env batch. With axis_name
+        set, the shard index is folded into the sampling keys so reset
+        randomization decorrelates across shards while the carried
+        EnvState.rng stays replicated (same invariant as step_fn)."""
         c = self.comps
-        n = c.num_envs
+        n = int(num_envs) if num_envs is not None else c.num_envs
         key, task_key, dr_key = jax.random.split(key, 3)
+        if self.axis_name is not None:
+            shard = jax.lax.axis_index(self.axis_name)
+            task_key = jax.random.fold_in(task_key, shard)
+            dr_key = jax.random.fold_in(dr_key, shard)
         difficulty = jnp.asarray(c.initial_difficulty, dtype=jnp.float32)
         reset_vals = c.task.reset_task(
             task_key, n, self._default_dof, difficulty=difficulty
@@ -455,7 +466,8 @@ class DexHandEnv:
                 if c.engine.params.has_box2 else None
             ),
         )
-        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, self._spawn)
+        spawn = jnp.broadcast_to(self._spawn_const[None], (n, 3))
+        kin = jax.vmap(c.engine.fk)(phys.q, phys.qd, spawn)
         n_contact = c.obs_cfg.num_contact_bodies
         reset_active = action_mod.extract_active_targets(
             c.pipeline, reset_vals.dof_pos

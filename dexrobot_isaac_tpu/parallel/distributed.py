@@ -28,14 +28,87 @@ from dexrobot_isaac_tpu.parallel.mesh import DATA_AXIS
 
 
 def maybe_init_distributed() -> bool:
-    """Initialize jax.distributed when launched as a multi-host job
-    (coordinator env vars present). Returns True if initialized."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    """Initialize jax.distributed when launched as a multi-host job.
+
+    Launch contract (train.py calls this before any backend use): set
+    `JAX_COORDINATOR_ADDRESS` (host:port of process 0) on every process; on
+    platforms without automatic cluster detection (CPU testing, manual TPU
+    pods) additionally set `JAX_NUM_PROCESSES` and `JAX_PROCESS_ID`. On CPU
+    the cross-process collectives ride gloo. Returns True if initialized.
+
+    The reference has no distributed code at all (single process, single
+    GPU, `multi_gpu: False` — SURVEY §2.9); this is the multi-host entry
+    point of the TPU-native scale-out design (BASELINE.json configs #4/#5:
+    envs sharded over hosts, gradients over ICI/DCN)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    )
+    if not addr:
+        return False
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        # CPU backend: cross-process collectives need an explicit transport
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def make_sharded_reset(env, mesh: Mesh):
+    """Per-shard env construction: jit(shard_map(reset_fn)) over the data
+    axis, so every process materializes only its LOCAL slice of the global
+    env batch (global/num_shards envs per device) instead of building the
+    full global batch in one place. Reset sampling folds the shard index in
+    (env.reset_fn axis support) so randomization decorrelates across shards;
+    the carried EnvState.rng and the curriculum difficulty stay replicated.
+
+    Returns fn(key) -> (env_state, obs) with globally-sharded outputs —
+    identical global semantics whether the mesh spans one process (virtual
+    or real multi-chip) or many (multi-host): shard identity is the global
+    device index either way."""
+    n_shards = mesh.devices.size
+    n_global = env.num_envs
+    assert n_global % n_shards == 0, (
+        f"num_envs={n_global} must divide over {n_shards} shards"
+    )
+    n_local = n_global // n_shards
+
+    def body(key):
+        return env.reset_fn(key, num_envs=n_local)
+
+    # out specs from a LOCAL-shape abstract trace (axis collectives disabled;
+    # the structure is identical with or without the fold-in)
+    saved = env.axis_name
+    env.axis_name = None
+    try:
+        state_shape, obs_shape = jax.eval_shape(body, jax.random.key(0))
+    finally:
+        env.axis_name = saved
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] == n_local:
+            return P(DATA_AXIS)
+        return P()
+
+    out_specs = (jax.tree.map(spec, state_shape), P(DATA_AXIS))
+
+    def run(key):
+        saved_axis = env.axis_name
+        env.axis_name = DATA_AXIS
+        try:
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=P(), out_specs=out_specs,
+                check_vma=False,
+            )
+            return jax.jit(sharded)(key)
+        finally:
+            env.axis_name = saved_axis
+
+    return run
 
 
 def _batch_specs(template: Any, num_envs_global: int):
@@ -51,10 +124,18 @@ def _batch_specs(template: Any, num_envs_global: int):
     return jax.tree.map(spec, template)
 
 
-def make_sharded_train_step(learner, mesh: Mesh, env_state_template, obs_template):
+def make_sharded_train_step(
+    learner, mesh: Mesh, env_state_template, obs_template, chunk: int = 1
+):
     """Wrap the learner's train iteration in shard_map: env batch sharded
     along `data`, PPO state replicated, gradient/stat collectives explicit
-    (learner must be constructed with axis_name=DATA_AXIS)."""
+    (learner must be constructed with axis_name=DATA_AXIS).
+
+    chunk > 1 scans that many train iterations INSIDE the shard_map body
+    (one dispatch per chunk — the distributed analog of
+    learner.make_chunked_train_step): metrics gain a leading (chunk,) dim
+    and rollout extras become (chunk, T, N, ...), matching the
+    single-program chunked path's output contract."""
     assert learner.axis_name == DATA_AXIS, (
         "PPOLearner must be built with axis_name=parallel.mesh.DATA_AXIS"
     )
@@ -63,8 +144,22 @@ def make_sharded_train_step(learner, mesh: Mesh, env_state_template, obs_templat
     obs_spec = P(DATA_AXIS)
     repl = jax.tree.map(lambda _: P(), jax.eval_shape(learner.init_state))
 
-    def run(ppo, env_state, obs):
-        return learner._train_iteration(ppo, env_state, obs)
+    if chunk > 1:
+        def run(ppo, env_state, obs):
+            def body(carry, _):
+                ppo, env_state, obs = carry
+                ppo, env_state, obs, metrics, extras = (
+                    learner._train_iteration(ppo, env_state, obs)
+                )
+                return (ppo, env_state, obs), (metrics, extras)
+
+            (ppo, env_state, obs), (metrics, extras) = jax.lax.scan(
+                body, (ppo, env_state, obs), None, length=chunk
+            )
+            return ppo, env_state, obs, metrics, extras
+    else:
+        def run(ppo, env_state, obs):
+            return learner._train_iteration(ppo, env_state, obs)
 
     # output structure: (ppo, env_state, obs, metrics, roll_extras).
     # Trace for shapes with the collectives disabled -- axis_index is only
@@ -88,10 +183,12 @@ def make_sharded_train_step(learner, mesh: Mesh, env_state_template, obs_templat
     metrics_spec = jax.tree.map(lambda _: P(), out_shapes[3])
 
     def extras_spec_leaf(leaf):
-        # rollout extras are stacked (T, N_local, ...): batch dim is axis 1
+        # rollout extras are stacked (T, N, ...) — or (chunk, T, N, ...)
+        # when chunked: shard the env-batch axis, replicate the rest
         shape = leaf.shape
-        if len(shape) >= 2 and shape[1] == n_global:
-            return P(None, DATA_AXIS)
+        batch_axis = 2 if chunk > 1 else 1
+        if len(shape) > batch_axis and shape[batch_axis] == n_global:
+            return P(*([None] * batch_axis), DATA_AXIS)
         return P()
 
     extras_spec = jax.tree.map(extras_spec_leaf, out_shapes[4])

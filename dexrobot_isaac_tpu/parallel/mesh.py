@@ -60,8 +60,15 @@ def shard_batch_pytree(tree: Any, mesh: Mesh) -> Any:
 
 
 def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf across the mesh. Uses a jitted identity with
+    replicated out-shardings rather than device_put: in a multi-process
+    (multi-host) mesh device_put rejects non-addressable shardings, while
+    SPMD execution produces global replicated arrays from each process's
+    (identical, seed-derived) local values — and it handles typed PRNG-key
+    leaves uniformly."""
     repl = replicated(mesh)
-    return jax.tree.map(lambda leaf: jax.device_put(leaf, repl), tree)
+    shardings = jax.tree.map(lambda _: repl, tree)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
 def _is_key(leaf) -> bool:

@@ -297,11 +297,21 @@ class DeviceBreakdown:
         import jax
         import jax.numpy as jnp
 
-        host = jax.device_get({
+        totals = {
             "ep_count": self.state["ep_count"],
             "step_sum": self.state["step_sum"],
             "comp_sum": self.state["comp_sum"],
-        })
+        }
+        leaf = totals["ep_count"]
+        if hasattr(leaf, "sharding") and not leaf.is_fully_addressable:
+            # multi-host: all-gather the (tiny) window totals so every
+            # process can read them — the curriculum controller's promotion
+            # decision must be identical on all processes
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(leaf.sharding.mesh, PartitionSpec())
+            totals = jax.jit(lambda t: t, out_shardings=repl)(totals)
+        host = jax.device_get(totals)
         host["global_step"] = int(global_step)
         comp_sum_h = np.asarray(host["comp_sum"])
         host["comp_sum"] = {

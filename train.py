@@ -37,6 +37,13 @@ def main(argv=None) -> int:
     if device.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host: must run before any backend use so all processes join the
+    # same global device mesh (parallel/distributed.py launch contract)
+    from dexrobot_isaac_tpu.parallel.distributed import maybe_init_distributed
+
+    multi_host = maybe_init_distributed()
+    is_main = jax.process_index() == 0
+
     from dexrobot_isaac_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -61,21 +68,34 @@ def main(argv=None) -> int:
     mode = "test" if test_mode else "train"
     task_name = get_by_path(cfg, "task.name", "BaseTask")
 
-    exp = ExperimentManager(
-        base_dir=os.environ.get("DEXHAND_RUNS_DIR", "."),
-        max_train_runs=int(get_by_path(cfg, "train.experiment.maxTrainRuns", 10)),
-        max_test_runs=int(get_by_path(cfg, "train.experiment.maxTestRuns", 10)),
-    )
-    run_dir = exp.create_run(
-        task_name, mode,
-        experiment_name=get_by_path(cfg, "train.logging.experimentName"),
-        cfg=cfg,
-    )
+    # run-dir / log-file / TB / checkpoint writes are process-0 only in
+    # multi-host jobs; other processes work out of a scratch dir
+    if is_main:
+        exp = ExperimentManager(
+            base_dir=os.environ.get("DEXHAND_RUNS_DIR", "."),
+            max_train_runs=int(get_by_path(cfg, "train.experiment.maxTrainRuns", 10)),
+            max_test_runs=int(get_by_path(cfg, "train.experiment.maxTestRuns", 10)),
+        )
+        run_dir = exp.create_run(
+            task_name, mode,
+            experiment_name=get_by_path(cfg, "train.logging.experimentName"),
+            cfg=cfg,
+        )
+    else:
+        import tempfile
+
+        run_dir = tempfile.mkdtemp(prefix="dexhand_nonmain_")
     log_file = (
-        None if get_by_path(cfg, "train.logging.noLogFile", False)
+        None if get_by_path(cfg, "train.logging.noLogFile", False) or not is_main
         else os.path.join(run_dir, f"{mode}.log")
     )
     logger = setup_logging(get_by_path(cfg, "train.logging.logLevel", "info"), log_file)
+    if multi_host:
+        logger.info(
+            f"Multi-host: process {jax.process_index()}/{jax.process_count()}"
+            f" ({jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices)"
+        )
     logger.info(f"Run directory: {run_dir}")
     logger.info(f"Task: {task_name} | mode: {mode} | devices: {jax.devices()}")
 
@@ -172,6 +192,13 @@ def main(argv=None) -> int:
         resume_meta = load_checkpoint_meta(path)
 
     if test_mode:
+        if multi_host:
+            # fail fast (reference philosophy): eval is a single-program
+            # loop over the global batch; run it as one process
+            raise RuntimeError(
+                "test=true is single-process: launch eval without the "
+                "multi-host coordinator env vars"
+            )
         if distributed:
             env.axis_name = None  # evaluation runs single-program
         return run_test(cfg, env, learner, ppo, run_dir, logger)
@@ -191,12 +218,15 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
     )
     from dexrobot_isaac_tpu.utils.config import get_by_path
 
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    is_main = jax.process_index() == 0
+    writer = None
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(run_dir, "tb"))
-    except Exception:
-        writer = None
+            writer = SummaryWriter(os.path.join(run_dir, "tb"))
+        except Exception:
+            writer = None
     observer = RewardComponentObserver(
         writer, int(get_by_path(cfg, "train.logging.rewardLogInterval", 100))
     )
@@ -212,46 +242,51 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
     task_name = get_by_path(cfg, "task.name", "BaseTask")
     nn_dir = os.path.join(run_dir, "nn")
 
-    # reset must run with axis_name unset (it executes outside shard_map)
-    saved_axis, env.axis_name = env.axis_name, None
-    env_state, obs = env._reset_jit(jax.random.key(env._seed))
-    env.axis_name = saved_axis
-    fused = getattr(env, "_fused", None)
-    if fused is not None:
-        # re-pack EnvState into the fused kernel's lane-major row layout
-        env_state = jax.jit(fused.pack)(env_state)
-
-    if distributed:
-        from dexrobot_isaac_tpu.parallel.distributed import make_sharded_train_step
-        from dexrobot_isaac_tpu.parallel.mesh import (
-            make_mesh, replicate_pytree, shard_batch_pytree,
-        )
-
-        mesh = make_mesh()
-        train_step = make_sharded_train_step(learner, mesh, env_state, obs)
-        env_state = shard_batch_pytree(env_state, mesh)
-        obs = shard_batch_pytree(obs, mesh)
-        ppo = replicate_pytree(ppo, mesh)
-    else:
-        train_step = learner.train_iteration
-
     # dispatch chunking: scan `chunk` train iterations inside one jitted
     # program, so the remote-TPU host round trip is paid once per chunk
-    # (single-program path only; the shard_map path dispatches per iteration)
+    # (distributed: the scan runs inside the shard_map body)
     chunk = max(1, int(get_by_path(cfg, "train.params.config.dispatch_chunk", 1)))
-    if distributed and chunk > 1:
-        logger.info("dispatch_chunk ignored on the distributed path")
-        chunk = 1
-    if chunk > 1:
-        train_step = learner.make_chunked_train_step(chunk)
-        if max_iters % chunk:
-            # the scan length is compiled in: every dispatch executes a full
-            # chunk, so round the budget up rather than misreport iterations
-            max_iters = (max_iters // chunk + 1) * chunk
-            logger.info(
-                f"maxIterations rounded up to {max_iters} "
-                f"(multiple of dispatch_chunk={chunk})"
-            )
+    if chunk > 1 and max_iters % chunk:
+        # the scan length is compiled in: every dispatch executes a full
+        # chunk, so round the budget up rather than misreport iterations
+        max_iters = (max_iters // chunk + 1) * chunk
+        logger.info(
+            f"maxIterations rounded up to {max_iters} "
+            f"(multiple of dispatch_chunk={chunk})"
+        )
+
+    fused = getattr(env, "_fused", None)
+    if distributed:
+        from dexrobot_isaac_tpu.parallel.distributed import (
+            make_sharded_reset, make_sharded_train_step,
+        )
+        from dexrobot_isaac_tpu.parallel.mesh import make_mesh, replicate_pytree
+
+        # per-shard env construction: every process materializes only its
+        # local slice of the global env batch (multi-host safe), sampling
+        # keys decorrelated by global shard index
+        mesh = make_mesh()
+        env_state, obs = make_sharded_reset(env, mesh)(
+            jax.random.key(env._seed)
+        )
+        if fused is not None:
+            env_state = jax.jit(fused.pack)(env_state)
+        train_step = make_sharded_train_step(
+            learner, mesh, env_state, obs, chunk=chunk
+        )
+        ppo = replicate_pytree(ppo, mesh)
+    else:
+        # reset runs with axis_name unset (it executes outside shard_map)
+        saved_axis, env.axis_name = env.axis_name, None
+        env_state, obs = env._reset_jit(jax.random.key(env._seed))
+        env.axis_name = saved_axis
+        if fused is not None:
+            # re-pack EnvState into the fused kernel's lane-major row layout
+            env_state = jax.jit(fused.pack)(env_state)
+        train_step = (
+            learner.make_chunked_train_step(chunk) if chunk > 1
+            else learner.train_iteration
+        )
 
     best_reward = -np.inf
     t_start = time.time()
@@ -372,12 +407,13 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
                 get_by_path(cfg, "train.params.config.save_best_after", 1)
             ):
                 best_reward = m["reward_mean"]
-                save_checkpoint(
-                    os.path.join(nn_dir, f"{task_name}_best.ckpt"), ppo,
-                    {"iteration": it, "reward": best_reward,
-                     "difficulty": difficulty},
-                )
-        if crossed(save_freq) or it == max_iters:
+                if is_main:
+                    save_checkpoint(
+                        os.path.join(nn_dir, f"{task_name}_best.ckpt"), ppo,
+                        {"iteration": it, "reward": best_reward,
+                         "difficulty": difficulty},
+                    )
+        if (crossed(save_freq) or it == max_iters) and is_main:
             path = os.path.join(nn_dir, f"{task_name}_ep{it}.ckpt")
             meta = {"iteration": it, "difficulty": difficulty}
             save_checkpoint(path, ppo, meta)
