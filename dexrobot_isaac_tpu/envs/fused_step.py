@@ -1033,6 +1033,10 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         state, obs = env.reset_fn(key)
         return layout.pack(state), obs
 
+    # closures are not bound methods: expose the env for callers that need
+    # to toggle env.axis_name around traces (parallel/distributed.py)
+    step_fn._env = env
+
     return SimpleNamespace(
         step_fn=step_fn,
         pack=layout.pack,

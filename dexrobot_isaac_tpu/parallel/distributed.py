@@ -112,13 +112,17 @@ def make_sharded_reset(env, mesh: Mesh):
 
 
 def _batch_specs(template: Any, num_envs_global: int):
-    """PartitionSpec pytree: leaves with an env-batch leading dim shard along
-    `data`; scalars and keys replicate."""
+    """PartitionSpec pytree: leaves with an env-batch dim shard along
+    `data`; scalars and keys replicate. The env batch is the leading dim
+    for EnvState/obs leaves and axis 1 for the fused kernel's lane-major
+    (rows, N) layout (envs/fused_step.py FusedEnvState)."""
 
     def spec(leaf):
         shape = getattr(leaf, "shape", ())
         if len(shape) >= 1 and shape[0] == num_envs_global:
             return P(DATA_AXIS)
+        if len(shape) == 2 and shape[1] == num_envs_global:
+            return P(None, DATA_AXIS)
         return P()
 
     return jax.tree.map(spec, template)
@@ -164,7 +168,9 @@ def make_sharded_train_step(
     # output structure: (ppo, env_state, obs, metrics, roll_extras).
     # Trace for shapes with the collectives disabled -- axis_index is only
     # legal inside shard_map, and the output STRUCTURE is identical.
-    env = getattr(learner.env_step, "__self__", None)
+    env = getattr(learner.env_step, "__self__", None) or getattr(
+        learner.env_step, "_env", None
+    )
     saved_axes = (learner.axis_name, getattr(env, "axis_name", None))
     learner.axis_name = None
     if env is not None:

@@ -65,6 +65,123 @@ def _run_pair(cmds, envs, timeout=900):
     return outs
 
 
+class TestShardedFused:
+    """The fused env-step kernel composed with shard_map (the combination
+    parallel/distributed.py exists for: pallas_call cannot be
+    GSPMD-partitioned, so the kernel runs per shard on its local batch).
+    Uses the hybrid backend — the exact fused lane math without the Mosaic
+    compile — on the 8-device virtual CPU mesh."""
+
+    @pytest.fixture(scope="class")
+    def fused_env(self):
+        import jax
+
+        from dexrobot_isaac_tpu.factory import make_env
+        from dexrobot_isaac_tpu.utils.config import load_config
+
+        cfg = load_config([
+            "task=BlindGrasping", "numEnvs=16", "env.episodeLength=50",
+            "sim.substeps=2",
+        ])
+        env = make_env(cfg, seed=3)
+        fused = env.make_fused(backend="hybrid")
+        return env, fused
+
+    def test_sharded_fused_step_matches_single_program(self, fused_env):
+        """fused.step_fn inside shard_map (local batch per shard) must
+        produce bitwise the outputs of the single-program full-batch call
+        while no resets fire (the shard-folded reset keys only feed the
+        done-masked merge)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from dexrobot_isaac_tpu.parallel.distributed import _batch_specs
+        from dexrobot_isaac_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        env, fused = fused_env
+        n = env.num_envs
+        state, _ = env.reset_fn(jax.random.key(3))
+        fs = fused.pack(state)
+        actions = jnp.zeros((n, env.num_actions), jnp.float32)
+
+        env.axis_name = None
+        out_single = jax.jit(fused.step_fn)(fs, actions)
+
+        mesh = make_mesh()
+        out_shapes = jax.eval_shape(fused.step_fn, fs, actions)
+        out_specs = _batch_specs(out_shapes, n)
+        in_specs = (_batch_specs(fs, n), P(DATA_AXIS))
+        env.axis_name = DATA_AXIS
+        try:
+            sharded = jax.jit(shard_map(
+                fused.step_fn, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            ))
+            out_sharded = sharded(fs, actions)
+        finally:
+            env.axis_name = None
+
+        def cmp(path, a, b):
+            if jax.dtypes.issubdtype(
+                getattr(a, "dtype", None), jax.dtypes.prng_key
+            ):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+                np.testing.assert_array_equal(a, b, err_msg=str(path))
+            else:
+                # XLA fuses/reassociates differently for the (16,) single
+                # program vs the (2,)-per-shard bodies: same math, float
+                # noise only
+                np.testing.assert_allclose(
+                    a, b, rtol=0, atol=1e-4, err_msg=str(path)
+                )
+
+        jax.tree.map_with_path(cmp, out_single, out_sharded)
+
+    def test_sharded_fused_train_iteration(self, fused_env):
+        """Full sharded PPO iteration with the fused step: sharded reset ->
+        pack -> make_sharded_train_step, finite KL on the virtual mesh."""
+        import jax
+
+        from dexrobot_isaac_tpu.parallel.distributed import (
+            make_sharded_reset,
+            make_sharded_train_step,
+        )
+        from dexrobot_isaac_tpu.parallel.mesh import (
+            DATA_AXIS,
+            make_mesh,
+            replicate_pytree,
+        )
+        from dexrobot_isaac_tpu.rl.ppo import PPOConfig, PPOLearner
+
+        env, fused = fused_env
+        mesh = make_mesh()
+        pcfg = PPOConfig(
+            num_actions=env.num_actions, num_obs=env.num_obs,
+            num_states=env.num_states, num_envs=env.num_envs,
+            horizon_length=4, minibatch_size=8, mini_epochs=2,
+            units=(32, 32),
+        )
+        learner = PPOLearner(
+            pcfg, fused.step_fn, seed=3, axis_name=DATA_AXIS
+        )
+        learner.comp_names = fused.comp_names
+        env.axis_name = DATA_AXIS
+        try:
+            env_state, obs = make_sharded_reset(env, mesh)(jax.random.key(3))
+            env_state = jax.jit(fused.pack)(env_state)
+            step = make_sharded_train_step(learner, mesh, env_state, obs)
+            ppo = replicate_pytree(learner.init_state(), mesh)
+            ppo, env_state, obs, metrics, extras = step(ppo, env_state, obs)
+            assert np.isfinite(float(metrics["kl"]))
+            assert "reward_components_packed" in extras
+        finally:
+            env.axis_name = None
+
+
 class TestMultiProcessTraining:
     def test_two_process_matches_single_process(self, tmp_path):
         """2 procs x 4 devices must reproduce the 1 proc x 8 devices run."""

@@ -143,40 +143,44 @@ def main(argv=None) -> int:
     )
     n_devices = len(jax.devices())
     distributed = n_devices > 1 and env.num_envs % n_devices == 0
+    axis = None
     if distributed:
         from dexrobot_isaac_tpu.parallel.mesh import DATA_AXIS
 
+        axis = DATA_AXIS
         env.axis_name = DATA_AXIS
         logger.info(
             f"Distributed: sharding {env.num_envs} envs over {n_devices} "
             f"devices via shard_map"
         )
-        learner = PPOLearner(ppo_cfg, env.step_fn, seed=seed, axis_name=DATA_AXIS)
-    else:
-        # Fused single-Pallas-kernel env step (envs/fused_step.py): the whole
-        # control step — action pipeline, physics, obs, task, termination,
-        # rewards, masked auto-reset — in one kernel instead of ~140 XLA
-        # kernels. TPU-only (the kernel is a Pallas TPU program) and
-        # training-only (eval/video paths read EnvState internals).
-        # train.params.config.fused: auto (default) | on | off.
-        fused = None
-        fused_mode = str(tp.get("fused", "auto")).lower()
-        if (not test_mode and fused_mode != "off"
-                and jax.default_backend() == "tpu"):
-            try:
-                fused = env.make_fused()
-            except Exception as e:
-                if fused_mode == "on":
-                    raise
-                logger.info(f"Fused env-step unavailable ({e}); XLA step")
-        learner = PPOLearner(
-            ppo_cfg, fused.step_fn if fused is not None else env.step_fn,
-            seed=seed,
-        )
-        if fused is not None:
-            learner.comp_names = fused.comp_names
-            env._fused = fused
-            logger.info(f"Fused env-step kernel enabled (block {fused.block})")
+    # Fused single-Pallas-kernel env step (envs/fused_step.py): the whole
+    # control step — action pipeline, physics, obs, task, termination,
+    # rewards, masked auto-reset — in one kernel instead of ~140 XLA
+    # kernels. TPU-only (the kernel is a Pallas TPU program) and
+    # training-only (eval/video paths read EnvState internals). Composes
+    # with the distributed path: pallas_call cannot be GSPMD-partitioned,
+    # so shard_map runs the kernel PER SHARD on its local batch (the kernel
+    # grid is derived from the runtime batch size) with explicit pmean
+    # collectives around it — multi-chip keeps the single-kernel step.
+    # train.params.config.fused: auto (default) | on | off.
+    fused = None
+    fused_mode = str(tp.get("fused", "auto")).lower()
+    if (not test_mode and fused_mode != "off"
+            and jax.default_backend() == "tpu"):
+        try:
+            fused = env.make_fused()
+        except Exception as e:
+            if fused_mode == "on":
+                raise
+            logger.info(f"Fused env-step unavailable ({e}); XLA step")
+    learner = PPOLearner(
+        ppo_cfg, fused.step_fn if fused is not None else env.step_fn,
+        seed=seed, axis_name=axis,
+    )
+    if fused is not None:
+        learner.comp_names = fused.comp_names
+        env._fused = fused
+        logger.info(f"Fused env-step kernel enabled (block {fused.block})")
     ppo = learner.init_state()
 
     ckpt_spec = get_by_path(cfg, "train.checkpoint")
