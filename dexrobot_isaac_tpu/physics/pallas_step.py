@@ -612,12 +612,36 @@ def build_lane_sim(engine, n_physics_steps: int):
     )
 
 
+class _RowShim:
+    """Write-shim standing in for a pallas output ref: collects `ref[i, :] =
+    row` assignments so the kernel body can run as PLAIN XLA ops (the body
+    is pure jnp over lane rows). Lets default CI trace the exact kernel —
+    physics lanes, FK fold, row packing — without the Mosaic compiler or
+    the (minutes-slow) interpreter; only Mosaic codegen itself remains
+    TPU-gated (covered by the checked-in golden trajectory)."""
+
+    def __init__(self, nrows: int):
+        self.rows = [None] * nrows
+
+    def __setitem__(self, idx, val):
+        i, sl = idx
+        assert sl == slice(None)
+        self.rows[i] = val
+
+    def stack(self):
+        assert all(r is not None for r in self.rows)
+        return jnp.stack(self.rows, axis=0)
+
+
 def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
-                       interpret: bool = False):
+                       interpret: bool = False, backend: str = "pallas"):
     """Returns fn(q, qd, targets, spawn, box13, dr4) -> (q', qd', box13',
     cf (N, B_bodies, 3), boxf (N, 3), kin: KinematicsOut) running
     n_physics_steps * substeps substeps in one kernel call, then one final
-    FK pass for the observation path. All I/O arrays are env-major (N, ...)."""
+    FK pass for the observation path. All I/O arrays are env-major (N, ...).
+
+    backend="xla" traces the identical kernel body as plain XLA ops via
+    write-shims (no pallas_call) — the default-CI parity path."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -643,9 +667,19 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             q, qd, box, _cf, _bf = carry
             return substep(q, qd, box, tgt, spawn, drv)
 
-        q, qd, box, cf, bf = jax.lax.fori_loop(
-            0, total_substeps, body, (q0, qd0, box0, cf0, bf0)
-        )
+        if backend == "xla":
+            # Python loop instead of fori_loop: even an eager fori_loop
+            # compiles its body as one XLA program (minutes for the lane
+            # body on CPU); the unrolled eager path reuses tiny cached
+            # per-op kernels instead
+            carry = (q0, qd0, box0, cf0, bf0)
+            for _ in range(total_substeps):
+                carry = body(0, carry)
+            q, qd, box, cf, bf = carry
+        else:
+            q, qd, box, cf, bf = jax.lax.fori_loop(
+                0, total_substeps, body, (q0, qd0, box0, cf0, bf0)
+            )
         for i in range(nb):
             qo_ref[i, :] = q[i]
             qdo_ref[i, :] = qd[i]
@@ -674,7 +708,6 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         for i, v in enumerate(rows):
             kino_ref[i, :] = v
 
-    @jax.jit
     def control_step(q, qd, targets, spawn, box13, dr4):
         """All env-major: q/qd/targets (N, 26), spawn (N, 3), box13 (N, 13),
         dr4 (N, 4). Returns (q', qd', box13', cf (N, nb, 3), boxf (N, 3),
@@ -692,25 +725,31 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         qt, qdt, tt = prep(q), prep(qd), prep(targets)
         st, bt, drt = prep(spawn), prep(box13), prep(dr4)
         npad = N + pad
-        grid = npad // block
-        spec = lambda d: pl.BlockSpec((d, block), lambda i: (0, i),
-                                      memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            interpret=interpret,
-            in_specs=[spec(nb), spec(nb), spec(nb), spec(3), spec(13), spec(4)],
-            out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3),
-                       spec(kin_rows)],
-            out_shape=[
-                jax.ShapeDtypeStruct((nb, npad), q.dtype),
-                jax.ShapeDtypeStruct((nb, npad), q.dtype),
-                jax.ShapeDtypeStruct((13, npad), q.dtype),
-                jax.ShapeDtypeStruct((nb * 3, npad), q.dtype),
-                jax.ShapeDtypeStruct((3, npad), q.dtype),
-                jax.ShapeDtypeStruct((kin_rows, npad), q.dtype),
-            ],
-        )(qt, qdt, tt, st, bt, drt)
+        if backend == "xla":
+            shims = [_RowShim(d) for d in (nb, nb, 13, nb * 3, 3, kin_rows)]
+            kernel(qt, qdt, tt, st, bt, drt, *shims)
+            out = [s.stack() for s in shims]
+        else:
+            grid = npad // block
+            spec = lambda d: pl.BlockSpec((d, block), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM)
+            out = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                interpret=interpret,
+                in_specs=[spec(nb), spec(nb), spec(nb), spec(3), spec(13),
+                          spec(4)],
+                out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3),
+                           spec(kin_rows)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nb, npad), q.dtype),
+                    jax.ShapeDtypeStruct((nb, npad), q.dtype),
+                    jax.ShapeDtypeStruct((13, npad), q.dtype),
+                    jax.ShapeDtypeStruct((nb * 3, npad), q.dtype),
+                    jax.ShapeDtypeStruct((3, npad), q.dtype),
+                    jax.ShapeDtypeStruct((kin_rows, npad), q.dtype),
+                ],
+            )(qt, qdt, tt, st, bt, drt)
         unprep = lambda x: jnp.transpose(x, (1, 0))[:N]
         qo, qdo, boxo, cfo, bfo, kt = (unprep(o) for o in out)
         # unpack the kinematics rows (layout documented at kin_rows above)
@@ -729,4 +768,10 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         )
         return qo, qdo, boxo, cfo.reshape(N, nb, 3), bfo, kin
 
-    return control_step
+    if backend == "xla":
+        # NOT jitted: compiling the ~18k-op lane body as ONE XLA program
+        # takes many minutes on CPU; eager execution reuses tiny cached
+        # per-op kernels and finishes in seconds at test sizes. (The body
+        # still runs under jit when embedded in a jitted caller.)
+        return control_step
+    return jax.jit(control_step)

@@ -1,8 +1,19 @@
 """Parity of the fused Pallas control-step kernel vs the jnp reference engine.
 
-Runs the kernel in interpret mode on CPU (the real TPU path compiles the same
-trace through Mosaic) and compares one physics step against
-HandPhysics.step over contact-free and contact-active states.
+Two backends of the SAME kernel trace (physics/pallas_step.py):
+
+- "xla" (default CI, always on): the identical kernel body — physics lanes,
+  fori_loop substeps, FK fold, row packing — traced as plain XLA ops via
+  write-shims. The suite can no longer go green while the kernel's lane
+  math diverges from the engine. (Interpret mode is NOT used: interpreting
+  the ~18k-op kernel takes >10 min at N=8.)
+- "pallas" (DEXHAND_TPU_TESTS=1): the real pl.pallas_call — Mosaic on TPU
+  hardware, interpreter elsewhere. Covers Mosaic codegen itself; the
+  checked-in golden trajectory (tests/test_golden_trajectory.py) pins the
+  recorded TPU behavior in default CI as well.
+
+On real TPU hardware run:
+  DEXHAND_TPU_TESTS=1 JAX_PLATFORMS=axon python -m pytest tests/test_pallas_step.py
 """
 
 import os
@@ -11,14 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-
-# Interpreting the ~18k-op fused kernel on CPU takes many minutes; the suite
-# runs it only when opted in. On real TPU hardware run:
-#   DEXHAND_TPU_TESTS=1 JAX_PLATFORMS=axon python -m pytest tests/test_pallas_step.py
-pytestmark = pytest.mark.skipif(
-    os.environ.get("DEXHAND_TPU_TESTS") != "1",
-    reason="pallas parity is slow under interpret mode; set DEXHAND_TPU_TESTS=1",
-)
 
 from dexrobot_isaac_tpu.constants import NUM_DOFS
 from dexrobot_isaac_tpu.physics.engine import HandPhysics
@@ -32,6 +35,10 @@ from dexrobot_isaac_tpu.physics.types import (
 
 N = 8
 
+_BACKENDS = ["xla"]
+if os.environ.get("DEXHAND_TPU_TESTS") == "1":
+    _BACKENDS.append("pallas")
+
 
 @pytest.fixture(scope="module")
 def phys():
@@ -40,8 +47,12 @@ def phys():
     )
 
 
-@pytest.fixture(scope="module")
-def ctrl(phys):
+@pytest.fixture(scope="module", params=_BACKENDS)
+def ctrl(phys, request):
+    if request.param == "xla":
+        return build_control_step(
+            phys, n_physics_steps=1, block=N, backend="xla"
+        )
     # real Mosaic kernel on TPU; interpret-mode emulation elsewhere
     interpret = jax.default_backend() != "tpu"
     block = 1024 if not interpret else N
