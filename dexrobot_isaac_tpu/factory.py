@@ -78,10 +78,29 @@ def build_sim_params(cfg: Dict[str, Any]) -> SimParams:
     )
 
 
+def _reject_nonzero_restitution(node: Any, path: str = "task") -> None:
+    """The penalty contact model has no restitution term: the key exists for
+    schema parity with the reference (blind_grasping_task.py:321-366 sets
+    restitution on the box actor) but only the shipped 0.0 is honored —
+    fail fast instead of silently no-oping a nonzero value."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            p = f"{path}.{k}"
+            if k == "restitution":
+                if float(v) != 0.0:
+                    raise NotImplementedError(
+                        f"{p}={v}: the penalty contact model has no "
+                        "restitution term; only 0.0 is supported"
+                    )
+            else:
+                _reject_nonzero_restitution(v, p)
+
+
 def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
     """Build a DexHandEnv from a composed config (parity: make_env,
     factory.py:93-147)."""
     task_cfg = cfg.get("task", {})
+    _reject_nonzero_restitution(task_cfg)
     env_cfg = cfg.get("env", {})
     task_name = task_cfg.get("name", "BaseTask")
     if task_name not in TASK_REGISTRY:

@@ -164,8 +164,35 @@ def load_config(
     return cfg
 
 
+# the 4-section schema (+ device); an unknown top-level key is a typo'd
+# override (e.g. `tarin.seed=1`) that would otherwise silently no-op
+_TOP_LEVEL_KEYS = {"device", "sim", "env", "task", "train"}
+
+# deprecated keys rejected with migration hints (reference vec_task.py:66-71
+# rejects sim.use_gpu_pipeline the same way)
+_DEPRECATED = {
+    "sim.use_gpu_pipeline": (
+        "deprecated: the pipeline is determined by `device` "
+        "(device=tpu | cpu); remove the key"
+    ),
+    "sim_device": "deprecated: use `device=tpu|cpu`",
+    "rl_device": "deprecated: single-process learner runs on `device`",
+    "graphics_device_id": "deprecated: rendering is host-side (graphics/)",
+}
+
+
 def validate_config(cfg: Dict) -> None:
-    """Fail-fast on structurally broken configs (config_utils.py:14-37)."""
+    """Fail-fast on structurally broken configs (config_utils.py:14-37) and
+    reject deprecated/unknown keys (vec_task.py:66-71)."""
+    unknown = sorted(set(cfg) - _TOP_LEVEL_KEYS)
+    if unknown:
+        raise ValueError(
+            f"Unknown top-level config keys {unknown} "
+            f"(expected {sorted(_TOP_LEVEL_KEYS)}; typo'd override?)"
+        )
+    for key, msg in _DEPRECATED.items():
+        if get_by_path(cfg, key) is not None:
+            raise ValueError(f"Config key '{key}' {msg}")
     required = ["sim.dt", "env.numEnvs", "task.name"]
     missing = [k for k in required if get_by_path(cfg, k) is None]
     if missing:
@@ -174,6 +201,40 @@ def validate_config(cfg: Dict) -> None:
         raise ValueError("sim.dt must be positive")
     if get_by_path(cfg, "env.numEnvs") < 1:
         raise ValueError("env.numEnvs must be >= 1")
+
+
+def usage_text() -> str:
+    """CLI help (parity: reference show_cli_help, cli_utils.py:170-307)."""
+    lines = [
+        "dexrobot_isaac_tpu training CLI — `python train.py key=value ...`",
+        "",
+        "Config groups (compose whole subtrees):",
+        "  task=BaseTask|BlindGrasping|BoxPushing|BoxReorientation|"
+        "BoxStacking|InHandReorientation",
+        "  train=<cfg/train/*>   physics=default|fast|accurate",
+        "  base=<cfg/base/*>     experiments=<cfg/experiments/*>",
+        "",
+        "Aliases:",
+    ]
+    for alias, path in ALIASES.items():
+        lines.append(f"  {alias:16} -> {path}")
+    lines += [
+        "",
+        "Any other key is a dotted config path: sim.dt=0.01 "
+        "train.params.config.horizon_length=32",
+        "",
+        "Smart checkpoint resolution:",
+        "  checkpoint=latest        # latest training run",
+        "  checkpoint=latest_test   # latest test run",
+        "  checkpoint=<partial-run-name> | <path/to.ckpt>",
+        "",
+        "Examples:",
+        "  python train.py task=BlindGrasping numEnvs=8192",
+        "  python train.py test=true checkpoint=latest testGamesNum=100",
+        "  python train.py task=BaseTask device=cpu numEnvs=4 "
+        "maxIterations=10",
+    ]
+    return "\n".join(lines)
 
 
 def save_config(cfg: Dict, path: str) -> None:

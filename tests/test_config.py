@@ -67,3 +67,44 @@ class TestDeepMerge:
     def test_get_by_path(self):
         assert get_by_path({"a": {"b": {"c": 5}}}, "a.b.c") == 5
         assert get_by_path({}, "a.b", "d") == "d"
+
+
+class TestConfigHygiene:
+    """Deprecated/unknown-key rejection + CLI help (reference
+    vec_task.py:66-71, cli_utils.py:170-307)."""
+
+    def test_unknown_top_level_key_rejected(self):
+        with pytest.raises(ValueError, match="Unknown top-level"):
+            load_config(["tarin.seed=1"])  # typo'd override must not no-op
+
+    def test_deprecated_key_rejected(self):
+        with pytest.raises(ValueError, match="deprecated"):
+            load_config(["sim.use_gpu_pipeline=true"])
+        with pytest.raises(ValueError, match="Unknown top-level"):
+            load_config(["sim_device=cuda:0"])
+
+    def test_help_text_lists_aliases(self):
+        from dexrobot_isaac_tpu.utils.config import ALIASES, usage_text
+
+        text = usage_text()
+        for alias in ALIASES:
+            assert alias in text
+
+    def test_train_cli_help(self):
+        import train as train_mod
+
+        assert train_mod.main(["--help"]) == 0
+
+    def test_nonzero_restitution_rejected(self):
+        from dexrobot_isaac_tpu.factory import make_env
+
+        cfg = load_config(
+            ["task=BlindGrasping", "numEnvs=2", "task.box.restitution=0.5"]
+        )
+        with pytest.raises(NotImplementedError, match="restitution"):
+            make_env(cfg)
+
+    def test_zero_restitution_accepted(self):
+        # the shipped parity value must remain loadable
+        cfg = load_config(["task=BlindGrasping", "numEnvs=2"])
+        assert cfg["task"]["box"]["restitution"] == 0.0

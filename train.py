@@ -24,7 +24,15 @@ import time
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
-    from dexrobot_isaac_tpu.utils.config import get_by_path, load_config
+    from dexrobot_isaac_tpu.utils.config import (
+        get_by_path,
+        load_config,
+        usage_text,
+    )
+
+    if any(a in ("--help", "-h", "help") for a in argv):
+        print(usage_text())
+        return 0
 
     cfg = load_config(argv)
 
