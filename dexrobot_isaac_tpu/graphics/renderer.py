@@ -78,7 +78,9 @@ class SceneRenderer:
             )
         )
         sizes = (np.asarray(m.sphere_radius) * 2000) ** 2
-        colors = ["#777777"] * len(sb)
+        # RGB tuples throughout: a list mixing hex strings and tuples is
+        # rejected by matplotlib's color array conversion
+        colors = [(0.47, 0.47, 0.47)] * len(sb)
         if contact_force_bodies is not None:
             # contact coloring (parity: viewer_controller.py:462-594)
             for i, b in enumerate(sb):

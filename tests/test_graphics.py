@@ -87,3 +87,82 @@ class TestStreamer:
         finally:
             s1.stop()
             s2.stop()
+
+
+class TestViewerController:
+    """Keyboard semantics parity (reference viewer_controller.py:185-350)."""
+
+    def _make(self, calls):
+        from dexrobot_isaac_tpu.graphics.viewer import (
+            VIEW_MODES,
+            ViewerController,
+        )
+
+        model = build_hand_model()
+        r = SceneRenderer(model, resolution=(160, 120))
+        vc = ViewerController(
+            r, num_envs=4,
+            on_reset_env=lambda i: calls.append(("reset", i)),
+            on_toggle_random_actions=lambda: calls.append(("random",)),
+            box2_size=0.08,
+        )
+        return vc, VIEW_MODES
+
+    def test_all_key_bindings(self):
+        calls = []
+        vc, modes = self._make(calls)
+        # ENTER cycles view modes
+        start = vc.view_mode_idx
+        for i in range(len(modes)):
+            vc.handle_key("enter")
+        assert vc.view_mode_idx == start  # full cycle
+        # F toggles follow
+        vc.handle_key("f")
+        assert vc.follow
+        vc.handle_key("f")
+        assert not vc.follow
+        # UP/DOWN select robot with wraparound
+        vc.handle_key("up")
+        assert vc.selected_env == 1
+        vc.handle_key("down")
+        vc.handle_key("down")
+        assert vc.selected_env == 3
+        # E resets the SELECTED env
+        vc.handle_key("e")
+        assert calls[-1] == ("reset", 3)
+        # SPACE toggles random actions
+        vc.handle_key(" ")
+        assert calls[-1] == ("random",)
+        # C toggles contact visualization
+        vc.handle_key("c")
+        assert not vc.show_contacts
+        vc.renderer.close()
+
+    def test_render_selected_env(self):
+        import jax.numpy as jnp
+
+        calls = []
+        vc, _ = self._make(calls)
+        model = build_hand_model()
+        phys = HandPhysics(model=model)
+        state = make_initial_physics_state(4)
+        spawn = jnp.tile(jnp.array([[0.0, 0.0, 0.3]], jnp.float32), (4, 1))
+        kin = phys.kinematics(state, spawn)
+        vc.selected_env = 2
+        vc.streamer = _FrameSink()
+        # nonzero forces: exercises contact coloring (a mixed string/tuple
+        # color list used to crash matplotlib's scatter here)
+        forces = np.zeros((4, model.num_bodies, 3), np.float32)
+        forces[:, :, 2] = 5.0
+        f = vc.render(kin, state, body_contact_force=forces)
+        assert f.shape == (120, 160, 3)
+        assert len(vc.streamer.frames) == 1
+        vc.renderer.close()
+
+
+class _FrameSink:
+    def __init__(self):
+        self.frames = []
+
+    def add_frame(self, f):
+        self.frames.append(f)

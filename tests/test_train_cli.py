@@ -60,6 +60,16 @@ class TestTrainCLI:
         )
         assert rc == 0
 
+    def test_viewer_mode(self, runs_dir):
+        """test=true viewer=true drives the interactive ViewerController
+        (env.viewer is a live config key: renderer + pacing + callbacks)."""
+        import train as train_mod
+
+        rc = train_mod.main(
+            BASE_ARGS + ["test=true", "viewer=true", "testGamesNum=2"]
+        )
+        assert rc == 0
+
     def test_resume_restores_curriculum_difficulty(self, runs_dir):
         """Checkpoints persist the reset-curriculum difficulty and a resumed
         run continues there instead of restarting at initial_difficulty."""

@@ -466,11 +466,17 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
         monitor = HotReloadMonitor(path, on_reload, reload_interval)
         monitor.start()
 
-    # video sidecar: render env 0 from returned states (off the hot loop)
+    # graphics sidecar: render from returned states (off the hot loop).
+    # viewer=true adds the interactive controller (keyboard semantics +
+    # view modes, graphics/viewer.py) and real-time pacing to control_dt
+    # (reference render path, dexhand_base.py:999-1067).
     video_record = bool(get_by_path(cfg, "env.videoRecord", False))
     video_stream = bool(get_by_path(cfg, "env.videoStream", False))
-    renderer = recorder = streamer = None
-    if video_record or video_stream:
+    viewer_on = bool(get_by_path(cfg, "env.viewer", False))
+    renderer = recorder = streamer = viewer = None
+    rand_actions = {"on": False}
+    reset_request = {"env": None}
+    if video_record or video_stream or viewer_on:
         from dexrobot_isaac_tpu.graphics.renderer import SceneRenderer
 
         resolution = get_by_path(cfg, "env.video.resolution", [640, 480])
@@ -500,6 +506,21 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
                 port=int(get_by_path(cfg, "env.stream.port", 8080)),
             )
             streamer.start()
+    if viewer_on:
+        from dexrobot_isaac_tpu.graphics.viewer import ViewerController
+
+        def on_toggle_random():
+            rand_actions["on"] = not rand_actions["on"]
+            logger.info(f"Random actions: {rand_actions['on']}")
+
+        viewer = ViewerController(
+            renderer, env.num_envs,
+            # E key: masked single-env reset, applied at the next loop step
+            on_reset_env=lambda i: reset_request.__setitem__("env", i),
+            on_toggle_random_actions=on_toggle_random,
+            streamer=streamer,
+            box2_size=env.comps.engine.params.box2_size,
+        )
 
     # evaluation always runs the FULL reset distribution: with a curriculum
     # configured, initial_difficulty would otherwise silently evaluate on
@@ -509,9 +530,33 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
         env.comps.initial_difficulty = 1.0
         logger.info("Eval: curriculum difficulty forced to 1.0 "
                     "(full reset distribution)")
+    import jax.numpy as jnp
+
     step_jit = jax.jit(env.step_fn)
     act_jit = jax.jit(learner.act_deterministic)
     env_state, obs = env._reset_jit(jax.random.key(env._seed))
+    np_rng = np.random.default_rng(env._seed)
+
+    if viewer is not None:
+        # masked single-env reset for the viewer's E key (reference
+        # viewer_controller.py E-key semantics): fresh reset values merged
+        # into only the selected env's slice of the state
+        def _masked_reset(state, key, env_idx):
+            fresh, _ = env.reset_fn(key)
+            mask = jnp.arange(env.num_envs) == env_idx
+
+            def merge(new, cur):
+                if getattr(new, "ndim", 0) >= 1 and \
+                        new.shape[0] == env.num_envs:
+                    m = mask.reshape(
+                        (env.num_envs,) + (1,) * (new.ndim - 1)
+                    )
+                    return jnp.where(m, new, cur)
+                return cur
+
+            return jax.tree.map(merge, fresh, state)
+
+        masked_reset = jax.jit(_masked_reset)
 
     games = 0
     returns = []
@@ -519,9 +564,35 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
     succ = fail = tout = 0
     try:
         while games_target == 0 or games < games_target:
-            actions = act_jit(ppo_box["state"], obs)
+            t_frame = time.time()
+            if viewer is not None and reset_request["env"] is not None:
+                env_state = masked_reset(
+                    env_state,
+                    jax.random.key(int(np_rng.integers(2**31))),
+                    reset_request["env"],
+                )
+                logger.info(f"Viewer: reset env {reset_request['env']}")
+                reset_request["env"] = None
+            if rand_actions["on"]:
+                actions = jnp.asarray(
+                    np_rng.uniform(
+                        -1, 1, (env.num_envs, env.num_actions)
+                    ),
+                    dtype=jnp.float32,
+                )
+            else:
+                actions = act_jit(ppo_box["state"], obs)
             env_state, obs, rew, done, extras = step_jit(env_state, actions)
-            if renderer is not None:
+            if viewer is not None:
+                kin = env.comps.engine.kinematics(env_state.physics, env._spawn)
+                frame = viewer.render(
+                    kin, env_state.physics,
+                    body_contact_force=env_state.body_contact_force,
+                    has_box=env.comps.engine.params.has_box,
+                )
+                if recorder is not None:
+                    recorder.add_frame(frame)
+            elif renderer is not None:
                 import numpy as _np
 
                 kin = env.comps.engine.kinematics(env_state.physics, env._spawn)
@@ -548,6 +619,12 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
                     recorder.add_frame(frame)
                 if streamer is not None:
                     streamer.add_frame(frame)
+            if viewer is not None:
+                # real-time pacing to control_dt (reference sync_frame_time
+                # analog, dexhand_base.py:1046-1064)
+                lag = env.control_dt - (time.time() - t_frame)
+                if lag > 0:
+                    time.sleep(lag)
             rew_h = np.asarray(rew)
             done_h = np.asarray(done)
             ep_ret += rew_h
@@ -569,6 +646,8 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
     finally:
         if monitor:
             monitor.stop()
+        if viewer is not None:
+            viewer.close()
         if recorder is not None:
             recorder.stop_episode()
             recorder.close()
