@@ -992,34 +992,41 @@ class HandPhysics:
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if self.params.has_box2:
-            # the fused kernel's lane state schema carries exactly one free
-            # body; multi-object scenes run the XLA path (ROADMAP.md)
-            use_pallas = False
 
         if use_pallas:
             from dexrobot_isaac_tpu.physics.pallas_step import build_control_step
 
             ctrl = build_control_step(self, n_physics_steps)
+            has_box2 = self.params.has_box2
 
             def fn(state: PhysicsState, targets, spawn, dr: DRSample):
-                box13 = jnp.concatenate(
-                    [state.box_pos, state.box_quat, state.box_linvel,
-                     state.box_angvel], axis=1,
-                )
+                box_parts = [state.box_pos, state.box_quat, state.box_linvel,
+                             state.box_angvel]
+                if has_box2:
+                    # second free cube: 13 more lanes appended
+                    # (pallas_step.py build_lane_sim n_box_lanes)
+                    box_parts += [state.box2_pos, state.box2_quat,
+                                  state.box2_linvel, state.box2_angvel]
+                box_in = jnp.concatenate(box_parts, axis=1)
                 dr4 = jnp.stack(
                     [dr.kp_scale, dr.kd_scale, dr.box_mass_scale,
                      dr.friction_scale], axis=1,
                 ).astype(state.q.dtype)
                 q, qd, box, cf, bf, kin = ctrl(
-                    state.q, state.qd, targets, spawn, box13, dr4
+                    state.q, state.qd, targets, spawn, box_in, dr4
                 )
                 new_state = PhysicsState(
                     q=q, qd=qd, box_pos=box[:, :3], box_quat=box[:, 3:7],
                     box_linvel=box[:, 7:10], box_angvel=box[:, 10:13],
+                    box2_pos=box[:, 13:16] if has_box2 else None,
+                    box2_quat=box[:, 16:20] if has_box2 else None,
+                    box2_linvel=box[:, 20:23] if has_box2 else None,
+                    box2_angvel=box[:, 23:26] if has_box2 else None,
                 )
                 return new_state, StepInfo(
-                    body_contact_force=cf, box_contact_force=bf
+                    body_contact_force=cf,
+                    box_contact_force=bf[:, :3],
+                    box2_contact_force=bf[:, 3:6] if has_box2 else None,
                 ), kin
 
             return fn

@@ -210,6 +210,18 @@ def build_lane_sim(engine, n_physics_steps: int):
     mu_bg = 0.5 * (p.box_friction + p.ground_friction)
     half = float(p.box_size / 2.0)
     gz = float(p.gravity)
+    # optional second free cube (SimParams.has_box2): its 13 state lanes are
+    # appended to the box lane tuple (26 total), mirroring
+    # engine._contacts'/_box_box's has_box2 block
+    box2_inertia = (
+        float(p.box2_mass * p.box2_size**2 / 6.0) if p.has_box2 else 1.0
+    )
+    mu_hb2 = 0.5 * (p.hand_friction + p.box2_friction) if p.has_box2 else 0.0
+    mu_b2g = 0.5 * (p.box2_friction + p.ground_friction) if p.has_box2 else 0.0
+    mu_bb = 0.5 * (p.box_friction + p.box2_friction) if p.has_box2 else 0.0
+    half2 = float(p.box2_size / 2.0) if p.has_box2 else 0.0
+    n_box_lanes = 26 if p.has_box2 else 13
+    n_boxf_lanes = 6 if p.has_box2 else 3
 
     def contact_force(depth, n3, rel3, mu, m_eff, m_t=None):
         """Mirrors HandPhysics._penalty_force for one contact, lane math.
@@ -421,6 +433,182 @@ def build_lane_sim(engine, n_physics_steps: int):
                         box_f = _add(box_f, fc)
                         box_t = _add(box_t, _cross(r_c, fc))
 
+        # ---------------- second free cube (has_box2) ----------------
+        # mirrors engine._contacts' has_box2 block + _box_box: spheres vs
+        # box2, box2 corners vs ground, and the symmetric cube-cube corner
+        # narrowphase against the primary box
+        box2_f = (zero, zero, zero)
+        box2_t = (zero, zero, zero)
+        if p.has_box2:
+            b2pos = (box[13], box[14], box[15])
+            b2quat = (box[16], box[17], box[18], box[19])
+            b2lin = (box[20], box[21], box[22])
+            b2ang = (box[23], box[24], box[25])
+            box2_mass = p.box2_mass * bm_s
+            box2_in = box2_inertia * bm_s
+
+            # --- spheres vs box2 (same math as the primary-box pass) ---
+            geo2 = []
+            n_act2 = zero
+            for s in range(ns):
+                loc = _qrot_inv(b2quat, _sub(sp_all[s], b2pos))
+                cl = tuple(jnp.clip(x, -half2, half2) for x in loc)
+                d = _sub(loc, cl)
+                dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                gap = tuple(half2 - jnp.abs(x) for x in loc)
+                gap_min = jnp.minimum(jnp.minimum(gap[0], gap[1]), gap[2])
+                r = float(srad_c[s])
+                depth_b = jnp.where(dist > 1e-9, r - dist, r + gap_min)
+                n_act2 = n_act2 + (depth_b > 0.0).astype(depth_b.dtype)
+                geo2.append((loc, cl, d, dist, gap))
+            share2 = jnp.maximum(n_act2, 1.0)
+            for s in range(ns):
+                b = sb[s]
+                sp, sv = sp_all[s], sv_all[s]
+                r = float(srad_c[s])
+                m_eff = float(smeff_c[s])
+                loc, cl, d, dist, gap = geo2[s]
+                outside = dist > 1e-9
+                n_out = _scale(d, 1.0 / (dist + 1e-9))
+                m01 = gap[0] < gap[1]
+                m2 = (jnp.where(m01, gap[0], gap[1]) < gap[2])
+                sel0 = m01 & m2
+                sel1 = (~m01) & m2
+                sel2 = ~m2
+                sgn = lambda x: jnp.where(x >= 0, 1.0, -1.0)
+                n_in = (
+                    jnp.where(sel0, sgn(loc[0]), 0.0),
+                    jnp.where(sel1, sgn(loc[1]), 0.0),
+                    jnp.where(sel2, sgn(loc[2]), 0.0),
+                )
+                depth_in = r + jnp.where(
+                    sel0, gap[0], jnp.where(sel1, gap[1], gap[2])
+                )
+                nl = tuple(jnp.where(outside, a, bvl)
+                           for a, bvl in zip(n_out, n_in))
+                depth_b = jnp.where(outside, r - dist, depth_in)
+                nw = _qrot(b2quat, nl)
+                surf = tuple(jnp.where(outside, a, bvl)
+                             for a, bvl in zip(cl, loc))
+                p_c = _add(b2pos, _qrot(b2quat, surf))
+                r_c = _sub(p_c, b2pos)
+                v_bp = _add(b2lin, _cross(b2ang, r_c))
+                rel = _sub(sv, v_bp)
+                rel_pred = (rel[0], rel[1], rel[2] - gz * h)
+                rxn = _cross(r_c, nw)
+                ang_n = _dot(rxn, rxn) / box2_in
+                m_red_n = 1.0 / (1.0 / m_eff + share2 / box2_mass + ang_n)
+                vn_p = _dot(rel_pred, nw)
+                vt_p = _sub(rel_pred, _scale(nw, vn_p))
+                vt_p_n = jnp.sqrt(_dot(vt_p, vt_p) + 1e-18)
+                t_hat = _scale(vt_p, 1.0 / (vt_p_n + 1e-9))
+                rxt = _cross(r_c, t_hat)
+                ang_tan = _dot(rxt, rxt) / box2_in
+                m_red_t = 1.0 / (1.0 / m_eff + share2 / box2_mass + ang_tan)
+                fb2 = contact_force(depth_b, nw, rel_pred, mu_hb2 * fr_s,
+                                    m_red_n, m_red_t)
+                cf[b] = _add(cf[b], fb2)
+                bF[b] = _add(bF[b], fb2)
+                bN[b] = _add(bN[b], _cross(sp, fb2))
+                react = _scale(fb2, -1.0)
+                box2_f = _add(box2_f, react)
+                box2_t = _add(box2_t, _cross(r_c, react))
+
+            # --- box2 corners vs ground ---
+            Rb2 = _rotmat_from_quat(b2quat)
+            for sx in (-half2, half2):
+                for sy in (-half2, half2):
+                    for sz in (-half2, half2):
+                        cl = (sx + zero, sy + zero, sz + zero)
+                        cw = _add(b2pos, _mat_vec(Rb2, cl))
+                        r_c = _sub(cw, b2pos)
+                        vc = _add(b2lin, _cross(b2ang, r_c))
+                        n3 = (zero, zero, zero + 1.0)
+                        ang8 = _dot(_cross(r_c, n3), _cross(r_c, n3)) / box2_in
+                        m_c = 1.0 / (4.0 / box2_mass + ang8)
+                        vc_pred = (vc[0], vc[1], vc[2] + gz * h)
+                        fc = contact_force(-cw[2], n3, vc_pred,
+                                           mu_b2g * fr_s, m_c)
+                        box2_f = _add(box2_f, fc)
+                        box2_t = _add(box2_t, _cross(r_c, fc))
+
+            # --- cube-cube corner narrowphase (engine._corners_vs_box) ---
+            def corners_vs_box(
+                pos_a, quat_a, lin_a, ang_a, half_a, mass_a, in_a,
+                pos_b, quat_b, lin_b, ang_b, half_b, mass_b, in_b, mu,
+            ):
+                """Corners of cube A vs cube B. Returns (fA, tA, fB, tB)."""
+                RA = _rotmat_from_quat(quat_a)
+                RB = _rotmat_from_quat(quat_b)
+                corners = []
+                for sx in (-half_a, half_a):
+                    for sy in (-half_a, half_a):
+                        for sz in (-half_a, half_a):
+                            cl_a = (sx + zero, sy + zero, sz + zero)
+                            cw = _add(pos_a, _mat_vec(RA, cl_a))
+                            local = _mat_t_vec(RB, _sub(cw, pos_b))
+                            gapv = tuple(half_b - jnp.abs(x) for x in local)
+                            depth = jnp.minimum(
+                                jnp.minimum(gapv[0], gapv[1]), gapv[2]
+                            )
+                            corners.append((cw, local, gapv, depth))
+                n_act_bb = zero
+                for (_, _, _, depth) in corners:
+                    n_act_bb = n_act_bb + (depth > 0.0).astype(depth.dtype)
+                share_bb = jnp.maximum(n_act_bb, 1.0)
+                fA = (zero, zero, zero)
+                tA = (zero, zero, zero)
+                fB = (zero, zero, zero)
+                tB = (zero, zero, zero)
+                for (cw, local, gapv, depth) in corners:
+                    m01 = gapv[0] < gapv[1]
+                    m2 = (jnp.where(m01, gapv[0], gapv[1]) < gapv[2])
+                    sel0 = m01 & m2
+                    sel1 = (~m01) & m2
+                    sel2 = ~m2
+                    sg = lambda x: jnp.where(x >= 0, 1.0, -1.0)
+                    n_local = (
+                        jnp.where(sel0, sg(local[0]), 0.0),
+                        jnp.where(sel1, sg(local[1]), 0.0),
+                        jnp.where(sel2, sg(local[2]), 0.0),
+                    )
+                    n_world = _mat_vec(RB, n_local)
+                    r_a = _sub(cw, pos_a)
+                    r_b = _sub(cw, pos_b)
+                    v_a = _add(lin_a, _cross(ang_a, r_a))
+                    v_b = _add(lin_b, _cross(ang_b, r_b))
+                    # both bodies get the same gravity kick: predicted
+                    # relative velocity equals the current one
+                    rel = _sub(v_a, v_b)
+                    rxa = _cross(r_a, n_world)
+                    rxb = _cross(r_b, n_world)
+                    m_red = 1.0 / (
+                        share_bb / mass_a + _dot(rxa, rxa) / in_a
+                        + share_bb / mass_b + _dot(rxb, rxb) / in_b
+                    )
+                    fc = contact_force(depth, n_world, rel, mu, m_red)
+                    fA = _add(fA, fc)
+                    tA = _add(tA, _cross(r_a, fc))
+                    fB = _sub(fB, fc)
+                    tB = _sub(tB, _cross(r_b, fc))
+                return fA, tA, fB, tB
+
+            mu_bb_s = mu_bb * fr_s
+            fa1, ta1, fb1, tb1 = corners_vs_box(
+                bpos, bquat, blin, bang, half, box_mass, box_in,
+                b2pos, b2quat, b2lin, b2ang, half2, box2_mass, box2_in,
+                mu_bb_s,
+            )
+            fb2_, tb2_, fa2, ta2 = corners_vs_box(
+                b2pos, b2quat, b2lin, b2ang, half2, box2_mass, box2_in,
+                bpos, bquat, blin, bang, half, box_mass, box_in,
+                mu_bb_s,
+            )
+            box_f = _add(box_f, _add(fa1, fa2))
+            box_t = _add(box_t, _add(ta1, ta2))
+            box2_f = _add(box2_f, _add(fb1, fb2_))
+            box2_t = _add(box2_t, _add(tb1, tb2_))
+
         # ---------------- gravity + subtree spatial forces ----------------
         for i in range(nb):
             if mass_c[i] == 0.0:
@@ -594,10 +782,38 @@ def build_lane_sim(engine, n_physics_steps: int):
                        lv[0], lv[1], lv[2], av[0], av[1], av[2])
         else:
             box_new = box
+        if p.has_box2:
+            inv_i2 = 1.0 / box2_in
+            lv2 = (
+                b2lin[0] + h * box2_f[0] / box2_mass,
+                b2lin[1] + h * box2_f[1] / box2_mass,
+                b2lin[2] + h * (box2_f[2] / box2_mass + gz),
+            )
+            av2 = _add(b2ang, _scale(box2_t, h * inv_i2))
+            ln2 = jnp.sqrt(_dot(lv2, lv2) + 1e-18)
+            lv2 = _scale(lv2, jnp.minimum(1.0, 10.0 / (ln2 + 1e-9)))
+            an2 = jnp.sqrt(_dot(av2, av2) + 1e-18)
+            av2 = _scale(av2, jnp.minimum(1.0, 64.0 / (an2 + 1e-9)))
+            bp2_n = _add(b2pos, _scale(lv2, h))
+            oq2 = (av2[0], av2[1], av2[2], zero)
+            dq2 = _qmul(oq2, b2quat)
+            qn4b = tuple(
+                bq_ + 0.5 * h * dq_ for bq_, dq_ in zip(b2quat, dq2)
+            )
+            norm2 = jnp.sqrt(_dot(qn4b, qn4b) + 1e-18)
+            qn4b = _scale(qn4b, 1.0 / norm2)
+            box_new = box_new + (
+                bp2_n[0], bp2_n[1], bp2_n[2],
+                qn4b[0], qn4b[1], qn4b[2], qn4b[3],
+                lv2[0], lv2[1], lv2[2], av2[0], av2[1], av2[2],
+            )
+            boxf_out = box_f + box2_f
+        else:
+            boxf_out = box_f
         cf_flat = []
         for i in range(nb):
             cf_flat.extend(cf[i])
-        return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), box_f
+        return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), boxf_out
 
     return SimpleNamespace(
         substep=substep,
@@ -609,6 +825,8 @@ def build_lane_sim(engine, n_physics_steps: int):
         siteq_c=siteq_c,
         kin_rows=kin_rows,
         total_substeps=total_substeps,
+        n_box_lanes=n_box_lanes,
+        n_boxf_lanes=n_boxf_lanes,
     )
 
 
@@ -650,18 +868,19 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
     nb, nsite, site_b = sim.nb, sim.nsite, sim.site_b
     sitep_c, siteq_c = sim.sitep_c, sim.siteq_c
     kin_rows, total_substeps = sim.kin_rows, sim.total_substeps
+    nbox, nbf = sim.n_box_lanes, sim.n_boxf_lanes
 
     def kernel(q_ref, qd_ref, tgt_ref, spawn_ref, box_ref, dr_ref,
                qo_ref, qdo_ref, boxo_ref, cfo_ref, boxfo_ref, kino_ref):
         tgt = tuple(tgt_ref[i, :] for i in range(nb))
         q0 = tuple(q_ref[i, :] for i in range(nb))
         qd0 = tuple(qd_ref[i, :] for i in range(nb))
-        box0 = tuple(box_ref[i, :] for i in range(13))
+        box0 = tuple(box_ref[i, :] for i in range(nbox))
         spawn = tuple(spawn_ref[i, :] for i in range(3))
         drv = tuple(dr_ref[i, :] for i in range(4))
         zero = jnp.zeros_like(q0[0])
         cf0 = tuple(zero for _ in range(nb * 3))
-        bf0 = (zero, zero, zero)
+        bf0 = tuple(zero for _ in range(nbf))
 
         def body(_, carry):
             q, qd, box, _cf, _bf = carry
@@ -683,11 +902,11 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         for i in range(nb):
             qo_ref[i, :] = q[i]
             qdo_ref[i, :] = qd[i]
-        for i in range(13):
+        for i in range(nbox):
             boxo_ref[i, :] = box[i]
         for i in range(nb * 3):
             cfo_ref[i, :] = cf[i]
-        for i in range(3):
+        for i in range(nbf):
             boxfo_ref[i, :] = bf[i]
         # final-state FK folded into the kernel: one extra FK pass (~a
         # fraction of one substep) replaces the separate vmapped XLA FK the
@@ -726,7 +945,7 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
         st, bt, drt = prep(spawn), prep(box13), prep(dr4)
         npad = N + pad
         if backend == "xla":
-            shims = [_RowShim(d) for d in (nb, nb, 13, nb * 3, 3, kin_rows)]
+            shims = [_RowShim(d) for d in (nb, nb, nbox, nb * 3, nbf, kin_rows)]
             kernel(qt, qdt, tt, st, bt, drt, *shims)
             out = [s.stack() for s in shims]
         else:
@@ -737,16 +956,16 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
                 kernel,
                 grid=(grid,),
                 interpret=interpret,
-                in_specs=[spec(nb), spec(nb), spec(nb), spec(3), spec(13),
-                          spec(4)],
-                out_specs=[spec(nb), spec(nb), spec(13), spec(nb * 3), spec(3),
-                           spec(kin_rows)],
+                in_specs=[spec(nb), spec(nb), spec(nb), spec(3),
+                          spec(nbox), spec(4)],
+                out_specs=[spec(nb), spec(nb), spec(nbox), spec(nb * 3),
+                           spec(nbf), spec(kin_rows)],
                 out_shape=[
                     jax.ShapeDtypeStruct((nb, npad), q.dtype),
                     jax.ShapeDtypeStruct((nb, npad), q.dtype),
-                    jax.ShapeDtypeStruct((13, npad), q.dtype),
+                    jax.ShapeDtypeStruct((nbox, npad), q.dtype),
                     jax.ShapeDtypeStruct((nb * 3, npad), q.dtype),
-                    jax.ShapeDtypeStruct((3, npad), q.dtype),
+                    jax.ShapeDtypeStruct((nbf, npad), q.dtype),
                     jax.ShapeDtypeStruct((kin_rows, npad), q.dtype),
                 ],
             )(qt, qdt, tt, st, bt, drt)

@@ -24,6 +24,145 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def expected_action_mapping(pcb: bool, pcf: bool):
+    """action index -> [(dof_index, coupling_scale), ...] from the
+    authoritative constants (FINGER_COUPLING_MAP; constants.py)."""
+    from dexrobot_isaac_tpu.constants import (
+        DOF_INDEX,
+        FINGER_COUPLING_MAP,
+        NUM_BASE_DOFS,
+    )
+
+    mapping = {}
+    a = 0
+    if pcb:
+        for d in range(NUM_BASE_DOFS):
+            mapping[a] = [(d, 1.0)]
+            a += 1
+    if pcf:
+        for control in range(12):
+            mapping[a] = [
+                (DOF_INDEX[j], s) for j, s in FINGER_COUPLING_MAP[control]
+            ]
+            a += 1
+    return mapping
+
+
+def verify_action_mapping(pipeline, num_actions, pcb, pcf, steps=40):
+    """Mapped-DOF verification through the real action pipeline (reference
+    dexhand_test.py:1395-1409, strengthened to exactness): action k must
+    change exactly its coupled DOFs' targets — through the coupling,
+    including the 2.0 scale on r_f_joint5_1 — and must NOT touch any other
+    DOF's target; r_f_joint3_1 stays pinned at 0. Returns failure strings
+    (empty = verified). A transposed/corrupted coupling table fails both the
+    mapped-response and the cross-talk checks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dexrobot_isaac_tpu.constants import DOF_INDEX, DOF_NAMES, NUM_DOFS
+    from dexrobot_isaac_tpu.envs import action as action_mod
+
+    mapping = expected_action_mapping(pcb, pcf)
+    j31 = DOF_INDEX["r_f_joint3_1"]
+    failures = []
+
+    def targets_after(a_idx, mag):
+        active = jnp.zeros((1, 18), dtype=jnp.float32)
+        actions = jnp.zeros((1, num_actions), dtype=jnp.float32)
+        actions = actions.at[:, a_idx].set(mag)
+        full = action_mod.apply_coupling(pipeline, active)
+        for _ in range(steps):
+            full, active = action_mod.process_actions(
+                pipeline, actions, active, active
+            )
+        return np.asarray(full[0])
+
+    for a_idx in range(num_actions):
+        hi = targets_after(a_idx, 0.4)
+        lo = targets_after(a_idx, -0.4)
+        for t in (hi, lo):
+            if abs(t[j31]) > 1e-7:
+                failures.append(
+                    f"action {a_idx}: r_f_joint3_1 target not pinned at 0"
+                )
+        diff = hi - lo
+        mapped = dict(mapping[a_idx])
+        for d in range(NUM_DOFS):
+            if d == j31:
+                continue
+            if d in mapped:
+                if abs(diff[d]) < 1e-4:
+                    failures.append(
+                        f"action {a_idx}: mapped DOF {DOF_NAMES[d]} "
+                        f"did not respond (|diff|={abs(diff[d]):.2e})"
+                    )
+            elif abs(diff[d]) > 1e-6:
+                failures.append(
+                    f"action {a_idx}: cross-talk onto unmapped DOF "
+                    f"{DOF_NAMES[d]} ({diff[d]:+.2e})"
+                )
+        # coupling scale ratios are exact (scales apply AFTER the shared
+        # active target): e.g. r_f_joint5_1 must move 2.0x r_f_joint2_1
+        items = mapping[a_idx]
+        base_d, base_s = items[0]
+        for d, s in items[1:]:
+            want = diff[base_d] * (s / base_s)
+            if abs(diff[d] - want) > 1e-5 * max(1.0, abs(want)):
+                failures.append(
+                    f"action {a_idx}: coupling scale mismatch on "
+                    f"{DOF_NAMES[d]} (got {diff[d]:+.5f}, want {want:+.5f})"
+                )
+    return failures
+
+
+def verify_custom_rule_modes(pipeline, num_actions, steps=20):
+    """Custom action rules in BOTH control modes (reference
+    dexhand_test.py:1182-1285): a rule that halves the action must produce
+    exactly the targets of the default rule at half magnitude."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dexrobot_isaac_tpu.envs import action as action_mod
+
+    failures = []
+
+    def targets_after(pl, a_idx, mag):
+        active = jnp.zeros((1, 18), dtype=jnp.float32)
+        actions = jnp.zeros((1, num_actions), dtype=jnp.float32)
+        actions = actions.at[:, a_idx].set(mag)
+        full = action_mod.apply_coupling(pl, active)
+        for _ in range(steps):
+            full, active = action_mod.process_actions(
+                pl, actions, active, active
+            )
+        return np.asarray(full[0])
+
+    for mode, base_rule in (
+        ("position", action_mod.position_action_rule),
+        ("position_delta", action_mod.position_delta_action_rule),
+    ):
+        def half_rule(pl, prev, rule_t, actions, _base=base_rule):
+            return _base(pl, prev, rule_t, actions * 0.5)
+
+        pl_base = dataclasses.replace(
+            pipeline, control_mode=mode, custom_action_rule=None
+        )
+        pl_custom = dataclasses.replace(
+            pipeline, control_mode=mode, custom_action_rule=half_rule
+        )
+        for a_idx in (0, num_actions - 1):
+            got = targets_after(pl_custom, a_idx, 0.8)
+            want = targets_after(pl_base, a_idx, 0.4)
+            if not np.allclose(got, want, rtol=0, atol=1e-7):
+                failures.append(
+                    f"{mode}: custom half-rule != default at half magnitude "
+                    f"(action {a_idx}, max err {np.abs(got - want).max():.2e})"
+                )
+    return failures
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     steps = 30
@@ -65,6 +204,32 @@ def main(argv=None) -> int:
     )
     logger.info(f"Action-space check OK ({env.num_actions})")
 
+    # --- exact mapped-DOF verification through the action pipeline, both
+    # control modes, plus custom-rule checks (dexhand_test.py:1182-1409) ---
+    import dataclasses as _dc
+
+    map_failures = []
+    for mode_name in ("position", "position_delta"):
+        pl = _dc.replace(
+            env.comps.pipeline, control_mode=mode_name,
+            custom_action_rule=None,
+        )
+        f = verify_action_mapping(pl, env.num_actions, pcb, pcf)
+        map_failures += [f"[{mode_name}] {x}" for x in f]
+        logger.info(
+            f"Mapped-DOF verification ({mode_name}): "
+            f"{'OK' if not f else f'{len(f)} FAILURES'}"
+        )
+    rule_failures = verify_custom_rule_modes(env.comps.pipeline, env.num_actions)
+    logger.info(
+        "Custom-rule verification (both modes): "
+        + ("OK" if not rule_failures else f"{len(rule_failures)} FAILURES")
+    )
+    if map_failures or rule_failures:
+        for x in map_failures + rule_failures:
+            logger.error(x)
+        return 1
+
     if mode == "contact":
         # spawn the hand just above the box so contacts happen within a few
         # dozen steps even at the task's 0.1 m/s base velocity limit
@@ -88,14 +253,20 @@ def main(argv=None) -> int:
         recorder.finalize_fps(env.control_dt)
         recorder.start_episode()
 
-    # --- action-to-DOF sweep (dexhand_test.py:1395-1409) ---
+    # --- physics action-to-DOF sweep (dexhand_test.py:1395-1409): each
+    # action's MAPPED DOFs (through the coupling) must respond in the
+    # simulated state, not just "some DOF" ---
+    from dexrobot_isaac_tpu.constants import DOF_INDEX, DOF_NAMES
+
+    mapping = expected_action_mapping(pcb, pcf)
+    j31 = DOF_INDEX["r_f_joint3_1"]
     env.reset()
     failures = []
     series = {"reward": [], "dof": []} if plot else None
     for a_idx in range(env.num_actions):
         env.reset()
         base_q = np.asarray(env.state.physics.q[0]).copy()
-        max_dev = 0.0
+        dev = np.zeros_like(base_q)
         for t in range(steps):
             phase = t / max(steps - 1, 1)
             mag = (1.0 - abs(2 * phase - 1.0)) * 2 - 1.0  # -1 -> +1 -> -1
@@ -104,8 +275,9 @@ def main(argv=None) -> int:
             if series is not None and a_idx == 0:
                 series["reward"].append(float(rew_t[0]))
                 series["dof"].append(float(env.state.physics.q[0, 0]))
-            dev = np.abs(np.asarray(env.state.physics.q[0]) - base_q).max()
-            max_dev = max(max_dev, dev)
+            dev = np.maximum(
+                dev, np.abs(np.asarray(env.state.physics.q[0]) - base_q)
+            )
             if recorder is not None and a_idx < 3:
                 kin = env.comps.engine.kinematics(env.state.physics, env._spawn)
                 frame = renderer.render_state(
@@ -116,11 +288,20 @@ def main(argv=None) -> int:
                     title=f"action {a_idx} t={t}",
                 )
                 recorder.add_frame(frame)
-        if max_dev < 1e-3:
+        weak = [
+            DOF_NAMES[d] for d, _s in mapping[a_idx]
+            if d != j31 and dev[d] < 5e-4
+        ]
+        if weak:
             failures.append(a_idx)
-            logger.warning(f"action {a_idx}: NO DOF response (max dev {max_dev:.5f})")
+            logger.warning(
+                f"action {a_idx}: mapped DOFs with no physics response: {weak}"
+            )
         else:
-            logger.info(f"action {a_idx}: DOF response OK (max dev {max_dev:.4f})")
+            logger.info(
+                f"action {a_idx}: mapped-DOF response OK "
+                f"(min dev {min(dev[d] for d, _ in mapping[a_idx] if d != j31):.4f})"
+            )
 
     if recorder is not None:
         recorder.stop_episode()

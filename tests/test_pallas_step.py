@@ -63,14 +63,15 @@ def ctrl(phys, request):
 def run_both(phys, ctrl, state, targets, spawn):
     dr = DRSample.nominal(N)
     ref_state, ref_info = phys.step(state, targets, spawn, dr)
-    box13 = jnp.concatenate(
-        [state.box_pos, state.box_quat, state.box_linvel, state.box_angvel],
-        axis=1,
-    )
+    parts = [state.box_pos, state.box_quat, state.box_linvel, state.box_angvel]
+    if phys.params.has_box2:
+        parts += [state.box2_pos, state.box2_quat,
+                  state.box2_linvel, state.box2_angvel]
+    box_in = jnp.concatenate(parts, axis=1)
     dr4 = jnp.stack(
         [dr.kp_scale, dr.kd_scale, dr.box_mass_scale, dr.friction_scale], axis=1
     )
-    out = ctrl(state.q, state.qd, targets, spawn, box13, dr4)
+    out = ctrl(state.q, state.qd, targets, spawn, box_in, dr4)
     return ref_state, ref_info, out
 
 
@@ -89,6 +90,116 @@ def assert_kin_parity(phys, q, qd, spawn, kin):
             np.asarray(getattr(ref_kin, field)),
             atol=5e-3, err_msg=field,
         )
+
+
+@pytest.fixture(scope="module")
+def phys2():
+    return HandPhysics(
+        params=SimParams(
+            dt=0.01, substeps=2, has_box=True,
+            has_box2=True, box2_size=0.08, box2_mass=0.5,
+        )
+    )
+
+
+@pytest.fixture(scope="module", params=_BACKENDS)
+def ctrl2(phys2, request):
+    if request.param == "xla":
+        return build_control_step(
+            phys2, n_physics_steps=1, block=N, backend="xla"
+        )
+    interpret = jax.default_backend() != "tpu"
+    block = 1024 if not interpret else N
+    return build_control_step(phys2, n_physics_steps=1, block=block,
+                              interpret=interpret)
+
+
+class TestPallasParityBox2:
+    """Two-free-cube lane sim vs the jnp engine (the multi-object path that
+    used to fall back to XLA: engine hand/ground/cube-cube contacts,
+    engine.py _contacts has_box2 block + _box_box)."""
+
+    def _stacked_state(self):
+        # pick cube stacked on the platform cube, slightly interpenetrating
+        # so cube-cube, box2-ground, AND sphere contacts are all active
+        state = make_initial_physics_state(
+            N, box_pos=jnp.tile(jnp.array([[0.12, 0.0, 0.104]]), (N, 1))
+        )
+        import dataclasses
+
+        zeros3 = jnp.zeros((N, 3), jnp.float32)
+        quat = jnp.zeros((N, 4), jnp.float32).at[:, 3].set(1.0)
+        return dataclasses.replace(
+            state,
+            box2_pos=jnp.tile(
+                jnp.array([[0.12, 0.0, 0.0395]], jnp.float32), (N, 1)
+            ),
+            box2_quat=quat,
+            box2_linvel=zeros3,
+            box2_angvel=zeros3,
+        )
+
+    def test_two_cube_parity(self, phys2, ctrl2):
+        state = self._stacked_state()
+        spawn = jnp.tile(
+            jnp.array([[0.0, 0.0, 0.075]], dtype=jnp.float32), (N, 1)
+        )
+        targets = jnp.zeros((N, NUM_DOFS)).at[:, 2].set(-0.02)
+        ref_state, ref_info, (q, qd, box, cf, bf, kin) = run_both(
+            phys2, ctrl2, state, targets, spawn
+        )
+        np.testing.assert_allclose(np.asarray(q), np.asarray(ref_state.q),
+                                   atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(box[:, :3]), np.asarray(ref_state.box_pos), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(box[:, 13:16]), np.asarray(ref_state.box2_pos),
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(box[:, 16:20]), np.asarray(ref_state.box2_quat),
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(box[:, 20:23]), np.asarray(ref_state.box2_linvel),
+            atol=5e-2, rtol=5e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bf[:, :3]), np.asarray(ref_info.box_contact_force),
+            atol=0.1, rtol=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bf[:, 3:6]), np.asarray(ref_info.box2_contact_force),
+            atol=0.1, rtol=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cf), np.asarray(ref_info.body_contact_force),
+            atol=0.1, rtol=0.1,
+        )
+        assert_kin_parity(phys2, q, qd, spawn, kin)
+
+    def test_two_cube_settles(self, phys2, ctrl2):
+        """20 steps: the stack must settle near its analytic rest heights
+        (cube-cube support holds against gravity), not explode."""
+        state = self._stacked_state()
+        spawn = jnp.tile(
+            jnp.array([[0.0, 0.0, 0.4]], dtype=jnp.float32), (N, 1)
+        )
+        targets = jnp.zeros((N, NUM_DOFS))
+        parts = [state.box_pos, state.box_quat, state.box_linvel,
+                 state.box_angvel, state.box2_pos, state.box2_quat,
+                 state.box2_linvel, state.box2_angvel]
+        box = jnp.concatenate(parts, axis=1)
+        q, qd = state.q, state.qd
+        dr4 = jnp.ones((N, 4), jnp.float32)
+        for _ in range(20):
+            q, qd, box, cf, bf, kin = ctrl2(q, qd, targets, spawn, box, dr4)
+        box = np.asarray(box)
+        # platform rests on the ground, pick cube rests on the platform
+        np.testing.assert_allclose(box[:, 2], 0.1042, atol=5e-3)
+        np.testing.assert_allclose(box[:, 15], 0.0394, atol=5e-3)
+        assert np.abs(box[:, 20:26]).max() < 0.05  # settled, not exploding
 
 
 class TestPallasParity:
