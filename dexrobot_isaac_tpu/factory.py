@@ -116,7 +116,18 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
     )
     task = TASK_REGISTRY[task_name](task_cfg)
 
-    model = build_hand_model()
+    # env.handAsset: load the hand from an MJCF file through models/mjcf.py
+    # (reference asset loading, hand_initializer.py:209-257); default is the
+    # doc-reconstructed canonical model. The vendored
+    # assets/dexhand021_right_simplified_floating.xml is equivalence-tested
+    # against it (tests/test_mjcf_model.py).
+    hand_asset = env_cfg.get("handAsset")
+    if hand_asset:
+        from dexrobot_isaac_tpu.models.mjcf import load_mjcf
+
+        model = load_mjcf(str(hand_asset))
+    else:
+        model = build_hand_model()
     params = task.configure_scene(build_sim_params(cfg))
     engine = HandPhysics(model=model, params=params)
 

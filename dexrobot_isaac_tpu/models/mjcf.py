@@ -194,8 +194,22 @@ def load_mjcf(path: str) -> HandModel:
             if inert is not None:
                 mass[bi] = float(inert.get("mass", "0"))
                 com[bi] = _parse_vec(inert.get("pos"), [0, 0, 0])
-                diag = _parse_vec(inert.get("diaginertia"), [1e-6] * 3)
-                inertia[bi] = np.diag(diag)
+                full = _parse_vec(inert.get("fullinertia"))
+                if full is not None:
+                    # MJCF order: ixx iyy izz ixy ixz iyz
+                    ixx, iyy, izz, ixy, ixz, iyz = full
+                    inertia[bi] = np.array([
+                        [ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]
+                    ])
+                else:
+                    diag = _parse_vec(inert.get("diaginertia"), [1e-6] * 3)
+                    ine = np.diag(diag)
+                    # principal-axes orientation: rotate into the body frame
+                    iq = inert.get("quat")
+                    if iq is not None:
+                        R = _quat_to_mat_np(_body_quat(inert))
+                        ine = R @ ine @ R.T
+                    inertia[bi] = ine
             elif geom_mass > 0:
                 mass[bi] = geom_mass
                 inertia[bi] = np.eye(3) * max(geom_mass * 1e-4, 1e-7)
@@ -243,6 +257,16 @@ def load_mjcf(path: str) -> HandModel:
                     else np.zeros((0, 3))),
         sphere_radius=np.asarray([s[2] for s in spheres]),
     )
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix from an xyzw quaternion (numpy, load time only)."""
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 def _quat_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
