@@ -374,6 +374,22 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
         breakdown.update(roll_extras)
         if crossed(log_interval) or it == max_iters:
             m = {k: float(v) for k, v in metrics.items()}
+            if not (np.isfinite(m["reward_mean"]) and np.isfinite(m["kl"])):
+                # fail fast (reference philosophy): a value-bootstrap
+                # runaway (returns -> value_rms variance -> denormalized
+                # bootstrap reward feedback) turns non-finite within a few
+                # hundred iterations; training past it is wasted compute.
+                save_checkpoint(
+                    os.path.join(nn_dir, f"{task_name}_diverged.ckpt"), ppo,
+                    {"iteration": it, "difficulty": difficulty},
+                )
+                logger.error(
+                    f"Non-finite training metrics at iter {it} "
+                    f"(reward_mean={m['reward_mean']}, kl={m['kl']}): "
+                    "aborting. Resume from the last finite checkpoint with "
+                    "a lower train.params.config.lr_ceiling."
+                )
+                return 1
             # windowed rate: the first execution of a fresh program pays a
             # multi-minute device-side kernel compile; a cumulative average
             # would understate steady-state throughput for hours
