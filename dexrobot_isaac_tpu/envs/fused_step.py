@@ -525,6 +525,25 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
     L = layout
     sim = build_lane_sim(comps.engine, comps.physics_steps_per_control)
 
+    # reset task-state row plan: tasks whose reset_task SAMPLES task-state
+    # values (e.g. BoxPushing's target_xy) get those rows appended to the
+    # reset operand so lane_step can consume them via ctx.reset_ts; purely
+    # derived reset states (BlindGrasping's initial_box_pos) may instead be
+    # recomputed from ctx.reset_box_pos/quat inside lane_step
+    reset_ts_t = jax.eval_shape(
+        lambda k, d: comps.task.reset_task(
+            k, comps.num_envs, env._default_dof, difficulty=d
+        ).task_states or {},
+        jax.random.key(0), jnp.zeros((), jnp.float32),
+    )
+    rts_keys = sorted(reset_ts_t)
+    rts_sizes = {
+        k: max(1, int(np.prod(reset_ts_t[k].shape[1:])))
+        for k in rts_keys
+    }
+    rts_rows = int(sum(rts_sizes.values()))
+    rst_rows = NUM_DOFS + 7 + rts_rows
+
     pipe = comps.pipeline
     ocfg = comps.obs_cfg
     rcfg = comps.reward_cfg
@@ -754,6 +773,13 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         rst_dof = tuple(rst_ref[j, :] for j in range(NUM_DOFS))
         rst_bpos = tuple(rst_ref[NUM_DOFS + j, :] for j in range(3))
         rst_bquat = tuple(rst_ref[NUM_DOFS + 3 + j, :] for j in range(4))
+        ofs_r = NUM_DOFS + 7
+        reset_ts = {}
+        for k in rts_keys:
+            reset_ts[k] = tuple(
+                rst_ref[ofs_r + j, :] for j in range(rts_sizes[k])
+            )
+            ofs_r += rts_sizes[k]
         ctx = SimpleNamespace(
             obs=obs,
             ts={k: gf(f"ts.{k}") if f"ts.{k}" in L.offs_f else gi(f"ts.{k}")
@@ -764,6 +790,7 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             q=q, qd=qd, dvel=dvel,
             control_dt=control_dt, zero=zero,
             reset_box_pos=rst_bpos, reset_box_quat=rst_bquat,
+            reset_ts=reset_ts,
         )
         lt = task.lane_step(ctx)
         obs.update(lt.task_obs)
@@ -929,7 +956,7 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             interpret=interpret,
             in_specs=[
                 spec(L.rows_f), spec(L.rows_i), spec(A),
-                spec(NUM_DOFS + 7), spec(4), spec(3),
+                spec(rst_rows), spec(4), spec(3),
             ],
             out_specs=[
                 spec(L.rows_f), spec(L.rows_i), spec(obs_dim), spec(1),
@@ -978,7 +1005,14 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             reset_vals.box_quat if reset_vals.box_quat is not None
             else jnp.zeros((nloc, 4), jnp.float32).at[:, 3].set(1.0)
         )
-        rst_T = jnp.concatenate([reset_vals.dof_pos, rb, rq], axis=1).T
+        rst_parts = [reset_vals.dof_pos, rb, rq]
+        for k in rts_keys:
+            rst_parts.append(
+                reset_vals.task_states[k].reshape(nloc, -1).astype(
+                    jnp.float32
+                )
+            )
+        rst_T = jnp.concatenate(rst_parts, axis=1).T
         if comps.dr_ranges:
             drs = DRSample.sample(dr_key, nloc, comps.dr_ranges)
             drn_T = jnp.stack(

@@ -20,9 +20,11 @@ Reset curriculum: with `curriculum.enabled`, the sampled target distance
 scales with the runtime difficulty scalar (tasks/api.py curriculum_scale),
 so early training pushes short distances.
 
-No `lane_step` implementation yet: like BoxReorientation, this task runs on
-the XLA step path (envs/fused_step.py raises FusedUnsupported and the
-trainer falls back — the measured cost is ~5% at 8192 envs, BASELINE.md).
+`lane_step` provides the fused-kernel twin of `compute_step` (the whole
+control step runs as ONE Pallas kernel on TPU; parity-tested in
+tests/test_fused_step.py). Sampled reset task-states (target_xy and the
+derived distances) reach the kernel through the reset-row plan
+(envs/fused_step.py ctx.reset_ts).
 """
 
 from __future__ import annotations
@@ -179,6 +181,93 @@ class BoxPushingTask(DexTask):
             success_criteria=successes,
             failure_criteria=failures,
             reward_terms=r,
+        )
+
+    # ------------------------------------------------------------------
+    def lane_step(self, ctx):
+        """Lane-vector `compute_step` for the fused env-step kernel
+        (envs/fused_step.py): mirrors `compute_step` above term for term;
+        tests/test_fused_step.py asserts the two paths agree."""
+        from types import SimpleNamespace
+
+        f32 = jnp.float32
+        obs_d, ts, dt, zero = ctx.obs, ctx.ts, ctx.control_dt, ctx.zero
+        box_pos, box_vel = ctx.box_pos, ctx.box_linvel
+
+        def sub(a, b):
+            return tuple(x - y for x, y in zip(a, b))
+
+        def norm(v):
+            return jnp.sqrt(sum(x * x for x in v))
+
+        tgt = ts["target_xy"]
+        to_t = (tgt[0] - box_pos[0], tgt[1] - box_pos[1])
+        dist = jnp.sqrt(to_t[0] * to_t[0] + to_t[1] * to_t[1])
+        speed = norm(box_vel)
+
+        obs = {}
+        obs["object_pos"] = box_pos
+        obs["object_quat"] = ctx.box_quat
+        obs["object_vel"] = box_vel
+        obs["target_xy"] = tgt
+        obs["to_target"] = to_t
+        obs["dist_to_target"] = (dist,)
+
+        pads = [
+            obs_d["fingerpad_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        d_f2o = tuple(norm(sub(p, box_pos)) for p in pads)
+        obs["finger_to_object_distances"] = d_f2o
+
+        # heuristic finger-box contact (tasks/api.py
+        # detect_finger_box_contacts, lane form as in blind_grasping)
+        box_has = norm(ctx.box_contact_force) > self.contact_binary_threshold
+        prox_thr = math.sqrt(3.0) * self.box_size / 2.0 * 1.2
+        fb = [
+            (obs_d["contact_binary"][i] > 0.5) & box_has
+            & (d_f2o[i] < prox_thr)
+            for i in range(5)
+        ]
+        obs["fingers_on_box"] = tuple(b.astype(f32) for b in fb)
+
+        at_target = (dist < self.position_tolerance) & (
+            speed < self.rest_speed_tolerance
+        )
+        steps = jnp.where(at_target, ts["hold_duration_steps"][0] + 1, 0)
+        obs["hold_duration"] = (steps.astype(f32) * dt,)
+
+        threshold_steps = int(round(self.hold_duration_threshold / dt))
+        successes = {"push_success": steps >= threshold_steps}
+        failures = {
+            "box_lost": dist > ts["initial_dist"][0] + self.max_overshoot,
+            "box_lifted": box_pos[2] > self.box_z + self.lift_tolerance,
+        }
+
+        r = {}
+        r["distance_tracking"] = jnp.exp(-self.distance_decay * dist)
+        r["distance_delta"] = ts["prev_dist"][0] - dist
+        dmin = d_f2o[0]
+        for d in d_f2o[1:]:
+            dmin = jnp.minimum(dmin, d)
+        r["fingerpad_proximity"] = jnp.exp(-self.proximity_decay * dmin)
+        any_fb = fb[0]
+        for b in fb[1:]:
+            any_fb = any_fb | b
+        r["finger_contact"] = any_fb.astype(f32)
+        r["target_hold"] = at_target.astype(f32)
+
+        ts_new = {
+            "target_xy": tgt,
+            "initial_dist": ts["initial_dist"],
+            "prev_dist": (dist,),
+            "hold_duration_steps": (steps,),
+        }
+        # all four task states are provided by reset_task, so the sampled
+        # reset rows carry them verbatim
+        reset_ts = {k: ctx.reset_ts[k] for k in ts_new}
+        return SimpleNamespace(
+            task_obs=obs, ts_new=ts_new, success=successes,
+            failure=failures, rewards=r, reset_ts=reset_ts,
         )
 
     # ------------------------------------------------------------------

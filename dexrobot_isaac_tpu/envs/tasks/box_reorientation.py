@@ -199,6 +199,106 @@ class BoxReorientationTask(DexTask):
         )
 
     # ------------------------------------------------------------------
+    def lane_step(self, ctx):
+        """Lane-vector `compute_step` for the fused env-step kernel
+        (envs/fused_step.py): mirrors `compute_step` above term for term;
+        tests/test_fused_step.py asserts the two paths agree."""
+        from types import SimpleNamespace
+
+        f32 = jnp.float32
+        obs_d, ts, dt = ctx.obs, ctx.ts, ctx.control_dt
+        box_pos, box_vel = ctx.box_pos, ctx.box_linvel
+        bq = ctx.box_quat
+
+        def sub(a, b):
+            return tuple(x - y for x, y in zip(a, b))
+
+        def norm(v):
+            return jnp.sqrt(sum(x * x for x in v))
+
+        def lane_yaw(q4):
+            x, y, z, w = q4
+            return jnp.arctan2(
+                2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)
+            )
+
+        def sym_err(e):
+            return e - self._period * jnp.round(e / self._period)
+
+        yaw = lane_yaw(bq)
+        target = ts["target_yaw"][0]
+        err = sym_err(yaw - target)
+        abs_err = jnp.abs(err)
+        init_pos = ts["initial_box_pos"]
+        dx = box_pos[0] - init_pos[0]
+        dy = box_pos[1] - init_pos[1]
+        drift = jnp.sqrt(dx * dx + dy * dy)
+
+        obs = {}
+        obs["object_pos"] = box_pos
+        obs["object_quat"] = bq
+        obs["object_vel"] = box_vel
+        obs["object_angvel"] = ctx.box_angvel
+        obs["object_yaw_sincos"] = (jnp.sin(yaw), jnp.cos(yaw))
+        obs["target_yaw_sincos"] = (jnp.sin(target), jnp.cos(target))
+        obs["yaw_error"] = (err,)
+        obs["box_drift"] = (drift,)
+
+        pads = [
+            obs_d["fingerpad_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        d_f2o = tuple(norm(sub(p, box_pos)) for p in pads)
+        obs["finger_to_object_distances"] = d_f2o
+
+        box_has = norm(ctx.box_contact_force) > self.contact_binary_threshold
+        prox_thr = math.sqrt(3.0) * self.box_size / 2.0 * 1.2
+        fb = [
+            (obs_d["contact_binary"][i] > 0.5) & box_has
+            & (d_f2o[i] < prox_thr)
+            for i in range(5)
+        ]
+        obs["fingers_on_box"] = tuple(b.astype(f32) for b in fb)
+
+        aligned = (abs_err < self.yaw_tolerance) & (
+            drift < self.position_drift_tolerance
+        )
+        steps = jnp.where(aligned, ts["aligned_duration_steps"][0] + 1, 0)
+        obs["aligned_duration"] = (steps.astype(f32) * dt,)
+
+        threshold_steps = int(round(self.align_duration_threshold / dt))
+        successes = {"reorient_success": steps >= threshold_steps}
+        failures = {
+            "box_pushed_away": drift > self.max_drift,
+            "box_lifted": box_pos[2] > self.box_z + self.lift_tolerance,
+        }
+
+        r = {}
+        r["orientation_tracking"] = jnp.exp(-self.orientation_decay * abs_err)
+        r["orientation_delta"] = jnp.abs(ts["prev_yaw_error"][0]) - abs_err
+        dmin = d_f2o[0]
+        for d in d_f2o[1:]:
+            dmin = jnp.minimum(dmin, d)
+        r["fingerpad_proximity"] = jnp.exp(-self.proximity_decay * dmin)
+        r["position_stability"] = jnp.exp(-self.drift_decay * drift)
+        any_fb = fb[0]
+        for b in fb[1:]:
+            any_fb = any_fb | b
+        r["finger_contact"] = any_fb.astype(f32)
+        r["alignment_hold"] = aligned.astype(f32)
+
+        ts_new = {
+            "target_yaw": (target,),
+            "initial_box_pos": init_pos,
+            "prev_yaw_error": (err,),
+            "aligned_duration_steps": (steps,),
+        }
+        reset_ts = {k: ctx.reset_ts[k] for k in ts_new}
+        return SimpleNamespace(
+            task_obs=obs, ts_new=ts_new, success=successes,
+            failure=failures, rewards=r, reset_ts=reset_ts,
+        )
+
+    # ------------------------------------------------------------------
     def reset_task(
         self, key, num_envs, default_dof_pos, difficulty=None
     ) -> TaskReset:

@@ -266,6 +266,93 @@ class InHandReorientationTask(DexTask):
         )
 
     # ------------------------------------------------------------------
+    def lane_step(self, ctx):
+        """Lane-vector `compute_step` for the fused env-step kernel
+        (envs/fused_step.py): mirrors `compute_step` above term for term;
+        tests/test_fused_step.py asserts the two paths agree."""
+        from types import SimpleNamespace
+
+        f32 = jnp.float32
+        obs_d, ts, dt = ctx.obs, ctx.ts, ctx.control_dt
+        box_pos = ctx.box_pos
+        bq = ctx.box_quat
+
+        def sub(a, b):
+            return tuple(x - y for x, y in zip(a, b))
+
+        def norm(v):
+            return jnp.sqrt(sum(x * x for x in v))
+
+        x, y, z, w = bq
+        yaw = jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+        target = ts["target_yaw"][0]
+        e = yaw - target
+        err = e - self._period * jnp.round(e / self._period)
+        abs_err = jnp.abs(err)
+
+        hand_pos = obs_d["hand_pose"][:3]
+        hand_dist = norm(sub(box_pos, hand_pos))
+        height_err = jnp.abs(box_pos[2] - self._hang_z)
+
+        obs = {}
+        obs["object_pos"] = box_pos
+        obs["object_quat"] = bq
+        obs["object_vel"] = ctx.box_linvel
+        obs["object_angvel"] = ctx.box_angvel
+        obs["object_yaw_sincos"] = (jnp.sin(yaw), jnp.cos(yaw))
+        obs["target_yaw_sincos"] = (jnp.sin(target), jnp.cos(target))
+        obs["yaw_error"] = (err,)
+        obs["object_rel_hand"] = sub(box_pos, hand_pos)
+
+        pads = [
+            obs_d["fingerpad_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        d_f2o = tuple(norm(sub(p, box_pos)) for p in pads)
+        obs["finger_to_object_distances"] = d_f2o
+
+        box_has = norm(ctx.box_contact_force) > self.contact_binary_threshold
+        prox_thr = math.sqrt(3.0) * self.box_size / 2.0 * 1.2
+        fb = [
+            (obs_d["contact_binary"][i] > 0.5) & box_has
+            & (d_f2o[i] < prox_thr)
+            for i in range(5)
+        ]
+        grasped = fb[0] & (fb[1] | fb[2] | fb[3] | fb[4])
+        obs["fingers_on_box"] = tuple(b.astype(f32) for b in fb)
+        obs["grasp_state"] = (grasped.astype(f32),)
+
+        aligned = (abs_err < self.yaw_tolerance) & (
+            height_err < self.drop_band
+        )
+        steps = jnp.where(aligned, ts["aligned_duration_steps"][0] + 1, 0)
+        obs["aligned_duration"] = (steps.astype(f32) * dt,)
+
+        threshold_steps = int(round(self.align_duration_threshold / dt))
+        successes = {"reorient_success": steps >= threshold_steps}
+        failures = {
+            "box_dropped": box_pos[2] < self._hang_z - self.drop_band,
+            "box_escaped": hand_dist > self.escape_distance,
+        }
+
+        r = {}
+        r["orientation_tracking"] = jnp.exp(-self.orientation_decay * abs_err)
+        r["orientation_delta"] = jnp.abs(ts["prev_yaw_error"][0]) - abs_err
+        r["grasp_maintenance"] = grasped.astype(f32)
+        r["height_keep"] = jnp.exp(-self.height_decay * height_err)
+        r["alignment_hold"] = aligned.astype(f32)
+
+        ts_new = {
+            "target_yaw": (target,),
+            "prev_yaw_error": (err,),
+            "aligned_duration_steps": (steps,),
+        }
+        reset_ts = {k: ctx.reset_ts[k] for k in ts_new}
+        return SimpleNamespace(
+            task_obs=obs, ts_new=ts_new, success=successes,
+            failure=failures, rewards=r, reset_ts=reset_ts,
+        )
+
+    # ------------------------------------------------------------------
     def reset_task(
         self, key, num_envs, default_dof_pos, difficulty=None
     ) -> TaskReset:

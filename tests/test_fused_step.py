@@ -99,6 +99,17 @@ class TestHybridParity:
     def test_blind_grasping(self):
         _run_parity("BlindGrasping", steps=9, backend="hybrid")
 
+    def test_box_pushing(self):
+        # exercises the sampled reset-task-state rows (target_xy reaches
+        # the kernel through ctx.reset_ts)
+        _run_parity("BoxPushing", steps=9, backend="hybrid")
+
+    def test_box_reorientation(self):
+        _run_parity("BoxReorientation", steps=9, backend="hybrid")
+
+    def test_in_hand_reorientation(self):
+        _run_parity("InHandReorientation", steps=9, backend="hybrid")
+
 
 class TestSupportChecks:
     def test_task_without_lane_step_is_refused(self):
