@@ -379,8 +379,10 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
                 # runaway (returns -> value_rms variance -> denormalized
                 # bootstrap reward feedback) turns non-finite within a few
                 # hundred iterations; training past it is wasted compute.
+                # outside nn/ so checkpoint=latest can never resolve to the
+                # diverged state
                 save_checkpoint(
-                    os.path.join(nn_dir, f"{task_name}_diverged.ckpt"), ppo,
+                    os.path.join(run_dir, "diverged.ckpt"), ppo,
                     {"iteration": it, "difficulty": difficulty},
                 )
                 logger.error(
