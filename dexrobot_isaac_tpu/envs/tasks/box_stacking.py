@@ -169,9 +169,11 @@ class BoxStackingTask(DexTask):
         # cube — without it a policy could hover-hold the grasped cube at
         # the stack pose for hold_duration_threshold and "succeed" without
         # ever placing it (mirrors how lift/transport are gated on `held`)
+        at_pose = (xy_err < self.position_tolerance) & (
+            z_err < self.height_tolerance
+        )
         stacked = (
-            (xy_err < self.position_tolerance)
-            & (z_err < self.height_tolerance)
+            at_pose
             & (speed < self.rest_speed_tolerance)
             & (n_on_i == 0)
         )
@@ -201,12 +203,16 @@ class BoxStackingTask(DexTask):
         )
         n_on = n_on_i.astype(f32)
         r["finger_contact"] = jnp.minimum(n_on, 3.0) / 3.0
-        # carrying: holding the cube off the ground
+        # carrying: holding the cube off the ground — but NOT once the cube
+        # is at the stack pose: the carry rewards stop paying there, so
+        # hover-holding at the target is strictly worse than releasing
+        # (place + stacked_hold only pay a settled, released cube)
         held = (n_on >= 2) & (box_pos[:, 2] > self.box_z + 0.02)
-        r["lift"] = held.astype(f32)
+        carrying = held & ~at_pose
+        r["lift"] = carrying.astype(f32)
         # transport shaping: exponential proximity to the stack point, gated
         # on holding the cube so pushing it along the ground scores nothing
-        r["transport"] = held.astype(f32) * jnp.exp(
+        r["transport"] = carrying.astype(f32) * jnp.exp(
             -self.transport_decay * transport_dist
         )
         # dense improvement term (potential difference, held or not: also
