@@ -253,12 +253,26 @@ class PPOLearner:
             )
             reward = reward * cfg.reward_shaper_scale
             if cfg.value_bootstrap:
-                # rl_games: bootstrap value on timeout terminations
+                # rl_games: bootstrap value on timeout terminations.
+                # Stability guard beyond rl_games: the normalized value
+                # prediction is clipped to +/-5 sigma before denormalizing.
+                # Unbounded predictions close a positive feedback loop —
+                # bootstrap reward -> returns -> value_rms variance ->
+                # larger denormalized bootstrap — whose gain exceeds 1 once
+                # predictions pass ~6 sigma; measured on BoxStacking
+                # (timeout-heavy episodes): value_rms.var jumped 7.5e4 ->
+                # 5.8e7 -> NaN within ~100 iterations while env rewards
+                # stayed bounded, deterministically at the same training
+                # state. At 5 sigma (matching the obs-normalization clip)
+                # the loop gain stays < 1; in the converged |v| <= 5 sigma
+                # regime the semantics are identical to rl_games.
                 timeout = extras["timeout"].astype(jnp.float32)
-                v_denorm = (
-                    ppo.value_rms.denormalize(value)
-                    if cfg.normalize_value else value
-                )
+                if cfg.normalize_value:
+                    v_denorm = ppo.value_rms.denormalize(
+                        jnp.clip(value, -5.0, 5.0)
+                    )
+                else:
+                    v_denorm = value
                 reward = reward + cfg.gamma * v_denorm * timeout
             t = Transition(obs, action, log_prob, value, reward, done, mu, sigma)
             return (env_state, next_obs, key), (t, self._slim_extras(extras))
