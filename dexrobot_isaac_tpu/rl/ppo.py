@@ -320,8 +320,16 @@ class PPOLearner:
         cfg = self.cfg
         values = traj.value
         if cfg.normalize_value:
-            values = ppo.value_rms.denormalize(values)
-            last_value = ppo.value_rms.denormalize(last_value)
+            # 5-sigma clip before denormalizing, like the rollout bootstrap
+            # (see _rollout): an extreme critic prediction on a rare state
+            # otherwise enters returns, is taught back to the critic through
+            # the (deliberately unclipped) value targets, and inflates
+            # value_rms variance — the measured runaway started from
+            # predictions at ~200 sigma
+            values = ppo.value_rms.denormalize(jnp.clip(values, -5.0, 5.0))
+            last_value = ppo.value_rms.denormalize(
+                jnp.clip(last_value, -5.0, 5.0)
+            )
 
         def scan_fn(carry, t):
             next_value, adv = carry
