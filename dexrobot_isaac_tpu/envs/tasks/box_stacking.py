@@ -95,6 +95,14 @@ class BoxStackingTask(DexTask):
         cur = c.get("curriculum", {})
         self.curriculum_enabled = bool(cur.get("enabled", False))
         self.curriculum_min_fraction = float(cur.get("min_fraction", 0.4))
+        # reverse-spawn curriculum: this fraction of resets (annealed to 0
+        # as difficulty -> 1, so full-difficulty EVAL is unaffected) start
+        # with the pick cube already resting on the platform — the policy
+        # experiences the at-pose/release/settle states that plain forward
+        # exploration rarely reaches (the "final inch" of stacking)
+        self.reverse_spawn_fraction = float(
+            cur.get("reverse_spawn_fraction", 0.3)
+        )
 
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
@@ -239,7 +247,8 @@ class BoxStackingTask(DexTask):
         n = num_envs
         (
             k_box, k_yaw, k_dir, k_dist, k_pyaw, k_trans, k_rot, k_fing,
-        ) = jax.random.split(key, 8)
+            k_rev, k_rjit,
+        ) = jax.random.split(key, 10)
         f32 = jnp.float32
 
         scale = curriculum_scale(
@@ -289,6 +298,36 @@ class BoxStackingTask(DexTask):
         dof = dof.at[:, 0:3].set(trans).at[:, 3:6].set(rot)
         fingers = jax.random.uniform(k_fing, (n, 20)) * self.finger_range * scale
         dof = dof.at[:, 6:26].set(fingers)
+
+        # reverse-spawn curriculum (see __init__): cube placed on the
+        # platform top with small jitter, hand base over the platform. The
+        # fraction anneals linearly to zero at difficulty 1.0; with the
+        # curriculum disabled (or at eval, which forces difficulty 1.0) no
+        # env reverse-spawns.
+        if self.curriculum_enabled:
+            d = (
+                jnp.asarray(difficulty, f32)
+                if difficulty is not None else jnp.asarray(1.0, f32)
+            )
+            rev_p = self.reverse_spawn_fraction * (1.0 - d)
+            rev = jax.random.uniform(k_rev, (n,)) < rev_p
+            jit_xy = (jax.random.uniform(k_rjit, (n, 2)) * 2 - 1) * 0.005
+            rev_box_pos = jnp.concatenate(
+                [
+                    plat_xy + jit_xy,
+                    jnp.full(
+                        (n, 1),
+                        self.plat_size + self.box_size / 2.0 - 0.0008,
+                        dtype=f32,
+                    ),
+                ],
+                axis=-1,
+            )
+            box_pos = jnp.where(rev[:, None], rev_box_pos, box_pos)
+            # hand over the platform so the scene stays reachable
+            dof = dof.at[:, 0:2].set(
+                jnp.where(rev[:, None], plat_xy, dof[:, 0:2])
+            )
 
         ts = self.init_task_states(n)
         ts["platform_spawn_xy"] = plat_xy
