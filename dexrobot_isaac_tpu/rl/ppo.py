@@ -73,6 +73,14 @@ class PPOConfig:
     normalize_value: bool = True
     normalize_advantage: bool = True
     value_bootstrap: bool = True
+    # Optional stability guard for timeout-heavy tasks: clip the NORMALIZED
+    # value prediction at +/- this many sigma before every denormalized use
+    # (timeout bootstrap + GAE). Breaks the value-variance feedback runaway
+    # root-caused on BoxStacking (BASELINE.md) — but it also flattens
+    # legitimately-extreme values (e.g. sparse success bonuses are >5 sigma
+    # early in training, and a 5.0 clip measurably stalled BlindGrasping's
+    # curriculum), so it is OFF by default (None = rl_games parity).
+    value_clip_sigma: Optional[float] = None
     truncate_grads: bool = True
     # Minibatch shuffling per mini-epoch (rl_games parity = "permutation").
     # "rotation" replaces the full 131k-element sort-based permutation (TPU
@@ -253,23 +261,13 @@ class PPOLearner:
             )
             reward = reward * cfg.reward_shaper_scale
             if cfg.value_bootstrap:
-                # rl_games: bootstrap value on timeout terminations.
-                # Stability guard beyond rl_games: the normalized value
-                # prediction is clipped to +/-5 sigma before denormalizing.
-                # Unbounded predictions close a positive feedback loop —
-                # bootstrap reward -> returns -> value_rms variance ->
-                # larger denormalized bootstrap — whose gain exceeds 1 once
-                # predictions pass ~6 sigma; measured on BoxStacking
-                # (timeout-heavy episodes): value_rms.var jumped 7.5e4 ->
-                # 5.8e7 -> NaN within ~100 iterations while env rewards
-                # stayed bounded, deterministically at the same training
-                # state. At 5 sigma (matching the obs-normalization clip)
-                # the loop gain stays < 1; in the converged |v| <= 5 sigma
-                # regime the semantics are identical to rl_games.
+                # rl_games: bootstrap value on timeout terminations
+                # (cfg.value_clip_sigma optionally guards the feedback loop
+                # through value_rms — see PPOConfig)
                 timeout = extras["timeout"].astype(jnp.float32)
                 if cfg.normalize_value:
                     v_denorm = ppo.value_rms.denormalize(
-                        jnp.clip(value, -5.0, 5.0)
+                        self._clip_v(value)
                     )
                 else:
                     v_denorm = value
@@ -316,20 +314,18 @@ class PPOLearner:
             slim["reward_components_packed"] = packed
         return slim
 
+    def _clip_v(self, v):
+        """Optional sigma-clip on normalized value predictions
+        (cfg.value_clip_sigma; None = rl_games parity, no clip)."""
+        s = self.cfg.value_clip_sigma
+        return v if s is None else jnp.clip(v, -s, s)
+
     def _gae(self, ppo: PPOState, traj: Transition, last_value):
         cfg = self.cfg
         values = traj.value
         if cfg.normalize_value:
-            # 5-sigma clip before denormalizing, like the rollout bootstrap
-            # (see _rollout): an extreme critic prediction on a rare state
-            # otherwise enters returns, is taught back to the critic through
-            # the (deliberately unclipped) value targets, and inflates
-            # value_rms variance — the measured runaway started from
-            # predictions at ~200 sigma
-            values = ppo.value_rms.denormalize(jnp.clip(values, -5.0, 5.0))
-            last_value = ppo.value_rms.denormalize(
-                jnp.clip(last_value, -5.0, 5.0)
-            )
+            values = ppo.value_rms.denormalize(self._clip_v(values))
+            last_value = ppo.value_rms.denormalize(self._clip_v(last_value))
 
         def scan_fn(carry, t):
             next_value, adv = carry

@@ -144,6 +144,10 @@ def main(argv=None) -> int:
         normalize_value=bool(tp.get("normalize_value", True)),
         normalize_advantage=bool(tp.get("normalize_advantage", True)),
         value_bootstrap=bool(tp.get("value_bootstrap", True)),
+        value_clip_sigma=(
+            float(tp["value_clip_sigma"])
+            if tp.get("value_clip_sigma") is not None else None
+        ),
         units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
         network_dtype=str(get_by_path(cfg, "train.params.network.dtype", "float32")),
         reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
