@@ -81,6 +81,16 @@ class PPOConfig:
     # early in training, and a 5.0 clip measurably stalled BlindGrasping's
     # curriculum), so it is OFF by default (None = rl_games parity).
     value_clip_sigma: Optional[float] = None
+    # Adaptive-LR floor recovery (BASELINE.md round-2 item): rl_games'
+    # AdaptiveScheduler only clamps to [lr_floor, lr_ceiling] — after a KL
+    # spike the LR rides the floor while oversized updates keep shredding
+    # the policy (the round-2 DR leg died this way: KL spike at the 1e-3
+    # ceiling -> LR wedged at 1e-6). With kl_skip_factor=N, any minibatch
+    # whose measured policy drift already exceeds N * kl_threshold SKIPS its
+    # parameter/optimizer update (the gradient is computed but not applied),
+    # bounding per-iteration KL growth so the scheduler can ratchet back.
+    # None = rl_games parity (no gate).
+    kl_skip_factor: Optional[float] = None
     truncate_grads: bool = True
     # Minibatch shuffling per mini-epoch (rl_games parity = "permutation").
     # "rotation" replaces the full 131k-element sort-based permutation (TPU
@@ -386,11 +396,24 @@ class PPOLearner:
 
         grads, (mu, sigma) = jax.grad(loss_fn, has_aux=True)(ppo_params)
         grads = jax.tree.map(self._pmean, grads)
-        updates, opt_state = self._tx.update(
+        new_updates, new_opt_state = self._tx.update(
             grads, _set_lr(opt_state, lr), ppo_params
         )
-        ppo_params = optax.apply_updates(ppo_params, updates)
+        new_params = optax.apply_updates(ppo_params, new_updates)
+        # kl measures drift accumulated BEFORE this minibatch's update (mu /
+        # sigma come from the pre-update params): when it already exceeds the
+        # skip gate, applying yet another step can only push further out —
+        # keep the old params/optimizer state instead (see kl_skip_factor)
         kl = self._pmean(_policy_kl(mu, sigma, mu_old, sigma_old))
+        if cfg.kl_skip_factor is not None:
+            skip = kl > cfg.kl_skip_factor * cfg.kl_threshold
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(skip, b, a), new, old
+            )
+            ppo_params = keep(new_params, ppo_params)
+            opt_state = keep(new_opt_state, opt_state)
+        else:
+            ppo_params, opt_state = new_params, new_opt_state
         if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "legacy":
             lr = self._adapt_lr(lr, kl)
         return (ppo_params, opt_state, lr, obs_rms, value_rms, kl_sum + kl), kl

@@ -325,6 +325,143 @@ class TestDeviceBreakdown:
         assert abs(sum(rates) - 1.0) < 1e-6
 
 
+class TestKLSkipRecovery:
+    """Adaptive-LR floor recovery (rl/ppo.py kl_skip_factor): minibatches
+    whose accumulated policy drift exceeds factor*kl_threshold skip their
+    update, bounding per-iteration KL so the scheduler can recover instead
+    of wedging at lr_floor (BASELINE.md round-2 DR-leg failure)."""
+
+    def _learner(self, **kw):
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), **kw,
+        )
+        return PPOLearner(cfg, toy_env_step, seed=0)
+
+    def test_all_updates_skipped_when_gate_trips(self):
+        # kl_threshold tiny => every minibatch's drift measures above the
+        # gate (the first minibatch has kl == 0 only in exact arithmetic;
+        # use factor/threshold so 0 < gate < any real drift)
+        lrn = self._learner(kl_skip_factor=1.0, kl_threshold=0.0)
+        st = lrn.init_state()
+        key = jax.random.key(7)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        st2, _, _, _, _ = lrn.train_iteration(st, env_state, env_state[1])
+        # kl of the very first minibatch is exactly 0 (params unchanged), so
+        # 0 > 0 is False and that one applies; all later minibatches see
+        # drift > 0 and skip. Verify the first epoch's later updates did not
+        # move params: compare against a run that applies only minibatch 0.
+        # Simpler invariant: with an impossible gate (negative threshold the
+        # skip condition kl > -1 is always true) nothing at all moves.
+        lrn2 = self._learner(kl_skip_factor=-1.0, kl_threshold=1.0)
+        stA = lrn2.init_state()
+        # train_iteration donates its input state: snapshot to host first
+        params_before = jax.tree.map(np.asarray, stA.params)
+        stB, _, _, m, _ = lrn2.train_iteration(
+            stA, (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS))),
+            jax.random.normal(key, (NUM_ENVS, NUM_OBS)),
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                a, np.asarray(b)
+            ),
+            params_before, stB.params,
+        )
+
+    def test_gate_off_matches_parity(self):
+        """An untripped gate (huge factor) must match the rl_games-parity
+        learner. One iteration, tight tolerance: the two configs compile to
+        different XLA programs, so exact bit equality isn't guaranteed, but
+        the math is identical."""
+        def run(**kw):
+            lrn = self._learner(**kw)
+            st = lrn.init_state()
+            key = jax.random.key(8)
+            env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+            st, _, _, _, _ = lrn.train_iteration(st, env_state, env_state[1])
+            return st
+
+        a = run()
+        b = run(kl_skip_factor=1e9)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=0, atol=1e-6
+            ),
+            a.params, b.params,
+        )
+
+    def test_learning_survives_with_gate(self):
+        lrn = self._learner(kl_skip_factor=8.0)
+        st = lrn.init_state()
+        key = jax.random.key(2)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        rewards = []
+        for _ in range(60):
+            st, env_state, obs, metrics, _ = lrn.train_iteration(
+                st, env_state, obs
+            )
+            rewards.append(float(metrics["reward_mean"]))
+        early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
+        assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+
+
+class TestChunkedDispatch:
+    """Discriminating test for the round-2 'chunking learning regression'
+    suspicion: `make_chunked_train_step(c)` is lax.scan over the SAME
+    `_train_iteration` body, so N iterations chunked must produce
+    bit-identical learner state to N unchunked iterations (same seeds,
+    fixed difficulty). If this holds, any learning difference observed
+    under dispatch_chunk>1 is host-side cadence, not the scanned program."""
+
+    def _run(self, chunk, iters=8):
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32),
+        )
+        lrn = PPOLearner(cfg, toy_env_step, seed=0)
+        st = lrn.init_state()
+        key = jax.random.key(9)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        if chunk == 1:
+            for _ in range(iters):
+                st, env_state, obs, metrics, _ = lrn.train_iteration(
+                    st, env_state, obs
+                )
+            last_metrics = metrics
+        else:
+            step = lrn.make_chunked_train_step(chunk)
+            for _ in range(iters // chunk):
+                st, env_state, obs, metrics, _ = step(st, env_state, obs)
+            last_metrics = jax.tree.map(lambda x: x[-1], metrics)
+        return st, obs, last_metrics
+
+    def test_chunked_bitwise_equals_unchunked(self):
+        st1, obs1, m1 = self._run(1)
+        st4, obs4, m4 = self._run(4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            st1.params, st4.params,
+        )
+        np.testing.assert_array_equal(np.asarray(st1.lr), np.asarray(st4.lr))
+        np.testing.assert_array_equal(
+            np.asarray(st1.obs_rms.mean), np.asarray(st4.obs_rms.mean)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st1.value_rms.var), np.asarray(st4.value_rms.var)
+        )
+        np.testing.assert_array_equal(np.asarray(obs1), np.asarray(obs4))
+        for k in m1:
+            np.testing.assert_array_equal(
+                np.asarray(m1[k]), np.asarray(m4[k]), err_msg=k
+            )
+
+
 class TestRotationShuffle:
     def test_learning_with_rotation_shuffle(self):
         """The sort-free rotation shuffle must still learn the toy task."""

@@ -148,6 +148,10 @@ def main(argv=None) -> int:
             float(tp["value_clip_sigma"])
             if tp.get("value_clip_sigma") is not None else None
         ),
+        kl_skip_factor=(
+            float(tp["kl_skip_factor"])
+            if tp.get("kl_skip_factor") is not None else None
+        ),
         units=tuple(get_by_path(cfg, "train.params.network.units", [512, 256, 128])),
         network_dtype=str(get_by_path(cfg, "train.params.network.dtype", "float32")),
         reward_shaper_scale=float(tp.get("reward_shaper_scale", 1.0)),
