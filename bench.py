@@ -98,7 +98,7 @@ def main() -> int:
     REPS = 5
     n_chunks = max(1, steps // CHUNK)
     steps = n_chunks * CHUNK
-    best_dt = {name: float("inf") for name in runners}
+    all_dt = {name: [] for name in runners}
     # interleave paths within each rep so load swings hit both equally
     for _ in range(REPS):
         for name, r in runners.items():
@@ -106,7 +106,9 @@ def main() -> int:
             for _ in range(n_chunks):
                 r[1] = r[0](r[1])
             jax.block_until_ready(r[2](r[1]))
-            best_dt[name] = min(best_dt[name], time.perf_counter() - t0)
+            all_dt[name].append(time.perf_counter() - t0)
+    best_dt = {name: min(dts) for name, dts in all_dt.items()}
+    med_dt = {name: sorted(dts)[len(dts) // 2] for name, dts in all_dt.items()}
 
     # finiteness probe on the reference step (outside the timed windows).
     # NOTE: `state` was donated to the first chunked call — probe from a
@@ -122,17 +124,56 @@ def main() -> int:
     per_path = {n: num_envs * steps / dt for n, dt in best_dt.items()}
     winner = min(best_dt, key=best_dt.get)
     env_steps_per_s = per_path[winner]
+    median_steps_per_s = num_envs * steps / med_dt[winner]
     baseline = 245760.0  # 4096 envs x 60 FPS, docs/DESIGN_DECISIONS.md:166
     if len(per_path) > 1:
         print(
             "paths: " + " ".join(f"{n}={v:,.0f}" for n, v in per_path.items()),
             file=sys.stderr,
         )
+
+    # MFU: semantic FLOPs/env-step counted by XLA cost analysis of the
+    # CPU-compiled reference step (tools/count_flops.py; the fused TPU
+    # kernel is parity-locked to it, so this is the algorithmic FLOP count,
+    # conservative — XLA's analysis omits transcendentals). Peaks: TPU v5e
+    # chip = 197e12 bf16 FLOP/s (MXU, the standard MFU denominator); the
+    # VPU peak is 8x128 lanes x 4 ALUs x 2 (FMA) x ~0.94 GHz = 7.7e12 f32
+    # FLOP/s — this workload is f32 lane math, so vpu_mfu is the roofline
+    # that actually binds (and it doesn't: the kernel is VMEM-residency- and
+    # dependency-bound, not FLOP-bound; see BASELINE.md).
+    mfu_fields = {}
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools", "count_flops.py",
+            ), "BlindGrasping", "8"],
+            capture_output=True, text=True, timeout=580, check=True,
+        )
+        flops_env_step = float(
+            json.loads(out.stdout.strip().splitlines()[-1])[
+                "flops_per_env_step"
+            ]
+        )
+        achieved = env_steps_per_s * flops_env_step
+        mfu_fields = {
+            "flops_per_env_step": round(flops_env_step, 1),
+            "achieved_flops_per_s": round(achieved, 1),
+            "mfu": round(achieved / 197e12, 6),
+            "vpu_mfu": round(achieved / 7.7e12, 6),
+        }
+    except Exception as e:
+        print(f"mfu unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"env-steps/s/chip (BlindGrasping, {num_envs} envs, {winner})",
         "value": round(env_steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(env_steps_per_s / baseline, 3),
+        "median_of_5": round(median_steps_per_s, 1),
+        **mfu_fields,
     }))
     return 0
 

@@ -180,7 +180,16 @@ def main(argv=None) -> int:
     # collectives around it — multi-chip keeps the single-kernel step.
     # train.params.config.fused: auto (default) | on | off.
     fused = None
-    fused_mode = str(tp.get("fused", "auto")).lower()
+    # YAML parses bare off/on as booleans, so normalize: False/"off"/"0"
+    # disable, True/"on"/"1" force, "auto" (default) enables when supported
+    fused_raw = tp.get("fused", "auto")
+    fused_mode = {False: "off", True: "on"}.get(
+        fused_raw, str(fused_raw).lower()
+    )
+    if fused_mode in ("false", "0"):
+        fused_mode = "off"
+    elif fused_mode in ("true", "1"):
+        fused_mode = "on"
     if (not test_mode and fused_mode != "off"
             and jax.default_backend() == "tpu"):
         try:
