@@ -95,8 +95,15 @@ class PPOConfig:
     # Minibatch shuffling per mini-epoch (rl_games parity = "permutation").
     # "rotation" replaces the full 131k-element sort-based permutation (TPU
     # sorts are expensive) with a per-epoch random circular shift: samples
-    # still mix across minibatches between epochs at negligible cost.
-    shuffle: str = "permutation"   # permutation | rotation
+    # still mix across minibatches between epochs at negligible cost —
+    # REJECTED as default (BASELINE.md): composition varies only by offset,
+    # too little decorrelation, BlindGrasping's curriculum never promoted.
+    # "affine" is the middle ground: a per-epoch random affine bijection
+    # i -> (k*i + c) mod N with k drawn from multipliers coprime to N —
+    # genuinely fresh minibatch composition every epoch (stride-k sampling
+    # across the whole batch) at gather cost, with the permutation's
+    # 131k-element radix sort eliminated.
+    shuffle: str = "permutation"   # permutation | affine | rotation
     units: Tuple[int, ...] = (512, 256, 128)
     network_dtype: str = "float32"   # "bfloat16" puts the MLP on the MXU fast path
     reward_shaper_scale: float = 1.0
@@ -500,6 +507,25 @@ class PPOLearner:
                 # across epochs at roll cost, no sort, no per-epoch gather
                 shift = jax.random.randint(ekey, (), 0, local_batch)
                 reindex = lambda x: jnp.roll(x, shift, axis=0)
+            elif cfg.shuffle == "affine":
+                # per-epoch random affine index bijection i -> (k*i+c) mod N:
+                # minibatch j becomes a stride-k sweep of the whole batch, so
+                # composition is genuinely re-drawn each epoch (unlike
+                # rotation) without the permutation's device sort. k comes
+                # from a static table of multipliers coprime to N (numpy
+                # trace constant), c is uniform. Products are exact mod N
+                # because N is a power of two and uint32 wraps mod 2^32.
+                mults = self._affine_mults(local_batch)
+                kk, kc = jax.random.split(ekey)
+                k = mults[jax.random.randint(kk, (), 0, mults.shape[0])]
+                c = jax.random.randint(
+                    kc, (), 0, local_batch, dtype=jnp.uint32
+                )
+                idx = (
+                    (k * jnp.arange(local_batch, dtype=jnp.uint32) + c)
+                    & jnp.uint32(local_batch - 1)
+                ).astype(jnp.int32)
+                reindex = lambda x: x[idx]
             else:
                 perm = jax.random.permutation(ekey, local_batch)
                 reindex = lambda x: x[perm]
@@ -549,6 +575,29 @@ class PPOLearner:
             ),
         }
         return new_ppo, env_state, obs, metrics, roll_extras
+
+    def _affine_mults(self, n: int):
+        """Static table of 64 odd multipliers for the affine shuffle (numpy
+        trace constant — never a device array, tunnel lowering safety).
+        Requires n a power of two so `& (n-1)` realizes mod n and oddness
+        realizes coprimality."""
+        if n & (n - 1):
+            raise ValueError(
+                f"shuffle=affine requires a power-of-two local batch, got {n}"
+                " (horizon_length * num_envs_per_shard); use"
+                " shuffle=permutation"
+            )
+        cached = getattr(self, "_affine_mults_np", None)
+        if cached is None or cached[0] != n:
+            rng = np.random.default_rng(self._seed ^ 0xA55E)
+            # spread over [n/8, n) so strides are large and varied; odd =>
+            # coprime with 2^k. n < 16 degenerates to tiny tables in tests —
+            # allow repeats there.
+            lo = max(1, n // 8)
+            mults = (rng.integers(lo, max(lo + 1, n), 64) | 1) % max(n, 2)
+            mults = np.maximum(mults, 1).astype(np.uint32)
+            self._affine_mults_np = (n, mults)
+        return jnp.asarray(self._affine_mults_np[1])
 
     def _static_perm(self, n: int):
         """Fixed random permutation as a numpy trace constant (never a

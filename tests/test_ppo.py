@@ -483,6 +483,62 @@ class TestRotationShuffle:
             rewards.append(float(metrics["reward_mean"]))
         early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
         assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+
+
+class TestAffineShuffle:
+    def test_affine_index_map_is_bijection(self):
+        """(k*i + c) mod N over the static multiplier table must permute
+        [0, N) for every table entry (oddness <=> coprime with 2^k)."""
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), shuffle="affine",
+        )
+        learner = PPOLearner(cfg, toy_env_step, seed=0)
+        n = 128
+        mults = np.asarray(learner._affine_mults(n))
+        assert mults.shape == (64,)
+        assert (mults % 2 == 1).all()
+        i = np.arange(n, dtype=np.uint32)
+        for k in mults:
+            idx = (k * i + np.uint32(3)) & np.uint32(n - 1)
+            assert len(set(idx.tolist())) == n
+        # distinct epochs should see distinct strides (decorrelation — the
+        # failure mode that sank shuffle=rotation)
+        assert len(set(mults.tolist())) > 16
+
+    def test_affine_rejects_non_power_of_two(self):
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), shuffle="affine",
+        )
+        learner = PPOLearner(cfg, toy_env_step, seed=0)
+        with pytest.raises(ValueError, match="power-of-two"):
+            learner._affine_mults(96)
+
+    def test_learning_with_affine_shuffle(self):
+        """The sort-free affine shuffle must learn the toy task."""
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), shuffle="affine",
+        )
+        learner = PPOLearner(cfg, toy_env_step, seed=0)
+        st = learner.init_state()
+        key = jax.random.key(2)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        rewards = []
+        for _ in range(60):
+            st, env_state, obs, metrics, _ = learner.train_iteration(
+                st, env_state, obs
+            )
+            rewards.append(float(metrics["reward_mean"]))
+        early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
+        assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+
+
 class TestPackedExtras:
     """The trainer's slimmed rollout extras pack the reward-component dict
     into one (T, N, C) array (rl/ppo.py _slim_extras); DeviceBreakdown must
