@@ -103,6 +103,15 @@ class BoxStackingTask(DexTask):
         self.reverse_spawn_fraction = float(
             cur.get("reverse_spawn_fraction", 0.3)
         )
+        # contact-allowance anneal (round-3 release lever): below this
+        # difficulty, "stacked" tolerates some fingers still touching the
+        # cube — floor(3 * (1 - d/anneal_end)) fingers allowed, so the
+        # existing carry-to-pose policy gets success credit immediately at
+        # d=0 (hover-hold counts) and the allowance steps 3 -> 2 -> 1 -> 0
+        # as difficulty climbs. At d >= anneal_end (and at EVAL, which
+        # forces difficulty 1.0) the criterion is the strict released
+        # stack — eval semantics are unchanged. 0 disables (always strict).
+        self.release_anneal_end = float(cur.get("release_anneal_end", 0.0))
 
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
@@ -126,6 +135,9 @@ class BoxStackingTask(DexTask):
             "platform_spawn_xy": jnp.zeros((n, 2), dtype=jnp.float32),
             "hold_duration_steps": jnp.zeros(n, dtype=jnp.int32),
             "prev_transport_dist": jnp.zeros(n, dtype=jnp.float32),
+            # difficulty at reset time, carried per-env so compute_step can
+            # evaluate the contact-allowance anneal (1.0 = strict criterion)
+            "spawn_difficulty": jnp.ones(n, dtype=jnp.float32),
         }
 
     # ------------------------------------------------------------------
@@ -180,10 +192,22 @@ class BoxStackingTask(DexTask):
         at_pose = (xy_err < self.position_tolerance) & (
             z_err < self.height_tolerance
         )
+        # contact-allowance anneal (see __init__): fingers allowed on the
+        # cube while "stacked", stepping 3 -> 0 with the spawn difficulty;
+        # release_anneal_end == 0.0 keeps the strict criterion everywhere
+        if self.release_anneal_end > 0.0:
+            allowed = jnp.floor(
+                3.0 * jnp.clip(
+                    1.0 - ts["spawn_difficulty"] / self.release_anneal_end,
+                    0.0, 1.0,
+                ) + 1e-6
+            ).astype(jnp.int32)
+        else:
+            allowed = jnp.zeros(n, dtype=jnp.int32)
         stacked = (
             at_pose
             & (speed < self.rest_speed_tolerance)
-            & (n_on_i == 0)
+            & (n_on_i <= allowed)
         )
         steps = jnp.where(stacked, ts["hold_duration_steps"] + 1, 0)
         ts["hold_duration_steps"] = steps
@@ -230,6 +254,14 @@ class BoxStackingTask(DexTask):
         # hand must RELEASE to finish, so the reward cannot require contact)
         r["place"] = jnp.exp(-self.place_decay * (xy_err + z_err))
         r["stacked_hold"] = stacked.astype(f32)
+        # shaped release (round-3 lever): once the cube is at the stack
+        # pose, pay for every finger taken OFF it — a per-finger gradient
+        # from hover-hold (0) to full release (1). Gated on at_pose so it
+        # can never reward simply not grasping; only reachable by first
+        # carrying the cube to the pose.
+        r["release"] = at_pose.astype(f32) * (
+            1.0 - jnp.minimum(n_on, 3.0) / 3.0
+        )
         ts["prev_transport_dist"] = transport_dist
 
         return TaskStep(
@@ -331,6 +363,12 @@ class BoxStackingTask(DexTask):
 
         ts = self.init_task_states(n)
         ts["platform_spawn_xy"] = plat_xy
+        ts["spawn_difficulty"] = jnp.broadcast_to(
+            jnp.asarray(
+                difficulty if difficulty is not None else 1.0, f32
+            ),
+            (n,),
+        )
         # same stack-point definition as compute_step: platform center z +
         # (platform + cube)/2
         stack_pt = box2_pos.at[:, 2].add(
