@@ -84,10 +84,19 @@ class FusedUnsupported(RuntimeError):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FusedEnvState:
-    """EnvState re-packed for the fused kernel: env index on lanes."""
+    """EnvState re-packed for the fused kernel: env index on lanes.
 
-    rows_f: jnp.ndarray                 # (Rf, N) float32
-    rows_i: jnp.ndarray                 # (Ri, N) int32
+    rows_f/rows_i are the kernel's read+write carry. rows_c holds the
+    "cold" leaves the kernel only ever WRITES (full_dof_targets,
+    body_contact_force — both recomputed from scratch every step and read
+    only by host-side consumers like the viewer/unpack): keeping them out
+    of the input pack removes ~104 rows/env of VMEM input staging per
+    block, which is what bounded the feasible block size (BASELINE.md:
+    the fused kernel's win was VMEM-residency-limited)."""
+
+    rows_f: jnp.ndarray                 # (Rf, N) float32, read+write
+    rows_i: jnp.ndarray                 # (Ri, N) int32, read+write
+    rows_c: jnp.ndarray                 # (Rc, N) float32, write-only
     consecutive_successes: jnp.ndarray  # () int32
     rng: jax.Array
     difficulty: jnp.ndarray             # () float32
@@ -102,31 +111,57 @@ class FusedLayout:
     the f32 pack, int32/bool leaves to the i32 pack. `active_rule_targets`
     is not stored: the fused path requires the default pre-action rule
     (rules.py:78-95 identity), under which it always equals
-    `active_prev_targets` (see envs/dexhand.py merge)."""
+    `active_prev_targets` (see envs/dexhand.py merge).
+
+    Two further row eliminations (VMEM residency is the fused kernel's
+    binding constraint):
+    - `prev_dof_pos` is not stored at all: the step invariant
+      prev_dof_pos == q holds for every reachable state (both the reset
+      path dexhand.py:477 and the merge dexhand.py:377-381 assign the same
+      values), so the kernel reads the pre-physics q rows for the
+      finite-difference velocities and unpack reconstructs the leaf from q.
+    - write-only leaves (`full_dof_targets`, `body_contact_force` — the
+      kernel recomputes both from scratch and never reads the carried
+      values) live in a separate COLD pack that is a kernel output but not
+      a kernel input."""
 
     _F_DIRECT = [
-        "full_dof_targets", "active_prev_targets", "prev_actions",
-        "prev_dof_pos", "prev_contact_binary", "body_contact_force",
+        "active_prev_targets", "prev_actions",
+        "prev_contact_binary",
         "prev_finger_dof_vel", "prev_hand_vel", "prev_hand_ang_vel",
     ]
+    _F_COLD = ["full_dof_targets", "body_contact_force"]
     _I_DIRECT = ["episode_step_count", "contact_duration_steps", "prev_contacts"]
     _PHYS = ["q", "qd", "box_pos", "box_quat", "box_linvel", "box_angvel"]
+    _PHYS_BOX2 = ["box2_pos", "box2_quat", "box2_linvel", "box2_angvel"]
 
     def __init__(self, template: EnvState):
         self.shapes: Dict[str, tuple] = {}
         self.dtypes: Dict[str, object] = {}
-        f_names, i_names = [], []
+        f_names, i_names, c_names = [], [], []
+        # multi-object scene (SimParams.has_box2): the second free cube's 13
+        # state lanes join the pack; the lane sim carries them natively
+        # (physics/pallas_step.py n_box_lanes=26)
+        self.has_box2 = template.physics.box2_pos is not None
+        self.phys_names = list(self._PHYS) + (
+            list(self._PHYS_BOX2) if self.has_box2 else []
+        )
 
-        def add(name, leaf):
+        def add(name, leaf, cold=False):
             shape, dtype = leaf.shape, leaf.dtype
             self.shapes[name] = tuple(shape)
             self.dtypes[name] = dtype
-            (f_names if dtype == jnp.float32 else i_names).append(name)
+            if cold:
+                c_names.append(name)
+            else:
+                (f_names if dtype == jnp.float32 else i_names).append(name)
 
-        for n in self._PHYS:
+        for n in self.phys_names:
             add(n, getattr(template.physics, n))
         for n in self._F_DIRECT:
             add(n, getattr(template, n))
+        for n in self._F_COLD:
+            add(n, getattr(template, n), cold=True)
         for n in self._I_DIRECT:
             add(n, getattr(template, n))
         for k in _DR_FIELDS:
@@ -137,6 +172,9 @@ class FusedLayout:
             add(f"ff.{k}", template.failure_flags[k])
         for k in sorted(template.task_states):
             add(f"ts.{k}", template.task_states[k])
+        # prev_dof_pos is reconstructed from q; record shape/dtype only
+        self.shapes["prev_dof_pos"] = self.shapes["q"]
+        self.dtypes["prev_dof_pos"] = self.dtypes["q"]
 
         def build_offsets(names):
             offs, total = {}, 0
@@ -148,13 +186,14 @@ class FusedLayout:
                 total += size
             return offs, total
 
-        self.f_names, self.i_names = f_names, i_names
+        self.f_names, self.i_names, self.c_names = f_names, i_names, c_names
         self.offs_f, self.rows_f = build_offsets(f_names)
         self.offs_i, self.rows_i = build_offsets(i_names)
+        self.offs_c, self.rows_c = build_offsets(c_names)
 
     # -- host/XLA-side converters (used at API boundaries only) ----------
     def _leaf(self, state: EnvState, name: str):
-        if name in self._PHYS:
+        if name in self.phys_names:
             return getattr(state.physics, name)
         if name.startswith("dr."):
             return getattr(state.dr, name[3:])
@@ -179,6 +218,7 @@ class FusedLayout:
         return FusedEnvState(
             rows_f=rows(self.f_names, jnp.float32),
             rows_i=rows(self.i_names, jnp.int32),
+            rows_c=rows(self.c_names, jnp.float32),
             consecutive_successes=state.consecutive_successes,
             rng=state.rng,
             difficulty=state.difficulty,
@@ -187,15 +227,20 @@ class FusedLayout:
     def unpack(self, fs: FusedEnvState) -> EnvState:
         n = fs.rows_f.shape[1]
         vals: Dict[str, jnp.ndarray] = {}
-        for names, rows in ((self.f_names, fs.rows_f), (self.i_names, fs.rows_i)):
-            offs = self.offs_f if rows is fs.rows_f else self.offs_i
+        for names, offs, rows in (
+            (self.f_names, self.offs_f, fs.rows_f),
+            (self.i_names, self.offs_i, fs.rows_i),
+            (self.c_names, self.offs_c, fs.rows_c),
+        ):
             for nm in names:
                 o, k = offs[nm]
                 shape = self.shapes[nm]
                 v = rows[o:o + k].T.reshape((n,) + shape[1:])
                 vals[nm] = v.astype(self.dtypes[nm])
+        # step invariant (see class docstring): prev_dof_pos == q always
+        vals["prev_dof_pos"] = vals["q"]
         return EnvState(
-            physics=PhysicsState(**{p: vals[p] for p in self._PHYS}),
+            physics=PhysicsState(**{p: vals[p] for p in self.phys_names}),
             full_dof_targets=vals["full_dof_targets"],
             active_prev_targets=vals["active_prev_targets"],
             # default pre-action rule: identical to active_prev_targets
@@ -447,9 +492,6 @@ def _check_supported(comps):
     from dexrobot_isaac_tpu.envs.tasks.api import DexTask
 
     task, pl = comps.task, comps.pipeline
-    if comps.engine.params.has_box2:
-        # the lane state schema carries exactly one free body
-        raise FusedUnsupported("multi-object scene (has_box2)")
     if task.pre_action_rule is not None:
         raise FusedUnsupported("custom pre-action rule")
     if pl.custom_action_rule is not None or pl.custom_filters:
@@ -542,7 +584,11 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         for k in rts_keys
     }
     rts_rows = int(sum(rts_sizes.values()))
-    rst_rows = NUM_DOFS + 7 + rts_rows
+    has_box2 = L.has_box2
+    # reset operand rows: dof(26) + box pose(7) [+ box2 pose(7)] + sampled
+    # task states
+    box2_rst = 7 if has_box2 else 0
+    rst_rows = NUM_DOFS + 7 + box2_rst + rts_rows
 
     pipe = comps.pipeline
     ocfg = comps.obs_cfg
@@ -603,7 +649,7 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         """Physics + final FK in lane form — the production path, the SAME
         lane sim the physics-only kernel compiles (build_lane_sim)."""
         cf0 = tuple(zero for _ in range(sim.nb * 3))
-        bf0 = (zero, zero, zero)
+        bf0 = tuple(zero for _ in range(sim.n_boxf_lanes))
 
         def body(_, carry):
             q_, qd_, box_, _cf, _bf = carry
@@ -642,6 +688,15 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             q=stk(q0), qd=stk(qd0),
             box_pos=stk(box0[0:3]), box_quat=stk(box0[3:7]),
             box_linvel=stk(box0[7:10]), box_angvel=stk(box0[10:13]),
+            **(
+                {
+                    "box2_pos": stk(box0[13:16]),
+                    "box2_quat": stk(box0[16:20]),
+                    "box2_linvel": stk(box0[20:23]),
+                    "box2_angvel": stk(box0[23:26]),
+                }
+                if has_box2 else {}
+            ),
         )
         dr = DRSample(
             kp_scale=drv[0], kd_scale=drv[1],
@@ -653,13 +708,21 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             lanes(phys.box_pos) + lanes(phys.box_quat)
             + lanes(phys.box_linvel) + lanes(phys.box_angvel)
         )
+        if has_box2:
+            box = box + (
+                lanes(phys.box2_pos) + lanes(phys.box2_quat)
+                + lanes(phys.box2_linvel) + lanes(phys.box2_angvel)
+            )
         n_loc = phys.q.shape[0]
         cf = lanes(info.body_contact_force.reshape(n_loc, -1))
         site_pos = {s: lanes(kin.site_pos[:, s]) for s in needed_sites}
         site_quat = {s: lanes(kin.site_quat[:, s]) for s in needed_sites}
+        bf = lanes(info.box_contact_force)
+        if has_box2:
+            bf = bf + lanes(info.box2_contact_force)
         return SimpleNamespace(
             q=lanes(phys.q), qd=lanes(phys.qd), box=box, cf=cf,
-            bf=lanes(info.box_contact_force),
+            bf=bf,
             hand_pos=lanes(kin.body_pos[:, hand_b]),
             hand_quat=lanes(kin.body_quat[:, hand_b]),
             hand_lin=lanes(kin.body_linvel[:, hand_b]),
@@ -673,8 +736,8 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         return functools.partial(kernel_body, phys_impl)
 
     def kernel_body(phys_impl, f_ref, i_ref, act_ref, rst_ref, drn_ref,
-                    spw_ref, fo_ref, io_ref, obs_ref, rew_ref, msk_ref,
-                    cmp_ref):
+                    spw_ref, fo_ref, io_ref, co_ref, obs_ref, rew_ref,
+                    msk_ref, cmp_ref):
         def gf(name):
             o, k = L.offs_f[name]
             return tuple(f_ref[o + j, :] for j in range(k))
@@ -688,6 +751,12 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             assert len(lanes) == k, (name, len(lanes), k)
             for j in range(k):
                 fo_ref[o + j, :] = lanes[j]
+
+        def pc(name, lanes):
+            o, k = L.offs_c[name]
+            assert len(lanes) == k, (name, len(lanes), k)
+            for j in range(k):
+                co_ref[o + j, :] = lanes[j]
 
         def pi(name, lanes):
             o, k = L.offs_i[name]
@@ -749,6 +818,11 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         # env's own _control_step on the hybrid parity backend) ---
         q0, qd0 = gf("q"), gf("qd")
         box0 = gf("box_pos") + gf("box_quat") + gf("box_linvel") + gf("box_angvel")
+        if has_box2:
+            box0 = box0 + (
+                gf("box2_pos") + gf("box2_quat")
+                + gf("box2_linvel") + gf("box2_angvel")
+            )
         spawn = tuple(spw_ref[j, :] for j in range(3))
         drv = (
             gf("dr.kp_scale")[0], gf("dr.kd_scale")[0],
@@ -759,7 +833,8 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         site_pos, site_quat = ph.site_pos, ph.site_quat
 
         # --- default observations ---
-        prev_dof = gf("prev_dof_pos")
+        # prev_dof_pos == pre-physics q (layout invariant; rows not stored)
+        prev_dof = q0
         dvel = tuple((q[i] - prev_dof[i]) / control_dt for i in range(NUM_DOFS))
         epi_old = gi("episode_step_count")[0]
         obs, new_dur, binary, mags = lane_default_obs(
@@ -774,6 +849,11 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         rst_bpos = tuple(rst_ref[NUM_DOFS + j, :] for j in range(3))
         rst_bquat = tuple(rst_ref[NUM_DOFS + 3 + j, :] for j in range(4))
         ofs_r = NUM_DOFS + 7
+        rst_b2pos = rst_b2quat = None
+        if has_box2:
+            rst_b2pos = tuple(rst_ref[ofs_r + j, :] for j in range(3))
+            rst_b2quat = tuple(rst_ref[ofs_r + 3 + j, :] for j in range(4))
+            ofs_r += 7
         reset_ts = {}
         for k in rts_keys:
             reset_ts[k] = tuple(
@@ -786,12 +866,22 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
                 for k in ts_names},
             box_pos=box[0:3], box_quat=box[3:7],
             box_linvel=box[7:10], box_angvel=box[10:13],
-            box_contact_force=bf,
+            box_contact_force=bf[0:3],
             q=q, qd=qd, dvel=dvel,
             control_dt=control_dt, zero=zero,
             reset_box_pos=rst_bpos, reset_box_quat=rst_bquat,
             reset_ts=reset_ts,
         )
+        if has_box2:
+            # second free cube: state lanes 13:26, net contact force lanes
+            # 3:6 of the boxf output (pallas_step.py boxf_out)
+            ctx.box2_pos = box[13:16]
+            ctx.box2_quat = box[16:20]
+            ctx.box2_linvel = box[20:23]
+            ctx.box2_angvel = box[23:26]
+            ctx.box2_contact_force = bf[3:6]
+            ctx.reset_box2_pos = rst_b2pos
+            ctx.reset_box2_quat = rst_b2quat
         lt = task.lane_step(ctx)
         obs.update(lt.task_obs)
 
@@ -879,12 +969,16 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         pf("box_quat", sel_t(rst_bquat, box[3:7]))
         pf("box_linvel", sel_t(zt(3), box[7:10]))
         pf("box_angvel", sel_t(zt(3), box[10:13]))
-        pf("full_dof_targets", sel_t(rst_dof, full))
+        if has_box2:
+            pf("box2_pos", sel_t(rst_b2pos, box[13:16]))
+            pf("box2_quat", sel_t(rst_b2quat, box[16:20]))
+            pf("box2_linvel", sel_t(zt(3), box[20:23]))
+            pf("box2_angvel", sel_t(zt(3), box[23:26]))
+        pc("full_dof_targets", sel_t(rst_dof, full))
         pf("active_prev_targets", sel_t(rst_active, t))
         pf("prev_actions", sel_t(zt(A), acts))
-        pf("prev_dof_pos", sel_t(rst_dof, q))
         pf("prev_contact_binary", sel_t(zt(nc), binary))
-        pf("body_contact_force", sel_t(zt(sim.nb * 3), cf))
+        pc("body_contact_force", sel_t(zt(sim.nb * 3), cf))
         pf("prev_finger_dof_vel", sel_t(zt(20), tracking["prev_finger_dof_vel"]))
         pf("prev_hand_vel", sel_t(zt(3), tracking["prev_hand_vel"]))
         pf("prev_hand_ang_vel", sel_t(zt(3), tracking["prev_hand_ang_vel"]))
@@ -928,14 +1022,16 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         def call(rows_f, rows_i, act_T, rst_T, drn_T, spw_T):
             fo = _OutRows(L.rows_f)
             io = _OutRows(L.rows_i)
+            co = _OutRows(L.rows_c)
             obs_o = _OutRows(obs_dim)
             rew_o = _OutRows(1)
             msk_o = _OutRows(4)
             cmp_o = _OutRows(n_comp)
             kern(rows_f, rows_i, act_T, rst_T, drn_T, spw_T,
-                 fo, io, obs_o, rew_o, msk_o, cmp_o)
+                 fo, io, co, obs_o, rew_o, msk_o, cmp_o)
             return (
                 fo.stack(jnp.float32), io.stack(jnp.int32),
+                co.stack(jnp.float32),
                 obs_o.stack(jnp.float32), rew_o.stack(jnp.float32),
                 msk_o.stack(jnp.int32), cmp_o.stack(jnp.float32),
             )
@@ -959,12 +1055,13 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
                 spec(rst_rows), spec(4), spec(3),
             ],
             out_specs=[
-                spec(L.rows_f), spec(L.rows_i), spec(obs_dim), spec(1),
-                spec(4), spec(n_comp),
+                spec(L.rows_f), spec(L.rows_i), spec(L.rows_c),
+                spec(obs_dim), spec(1), spec(4), spec(n_comp),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((L.rows_f, nloc), jnp.float32),
                 jax.ShapeDtypeStruct((L.rows_i, nloc), jnp.int32),
+                jax.ShapeDtypeStruct((L.rows_c, nloc), jnp.float32),
                 jax.ShapeDtypeStruct((obs_dim, nloc), jnp.float32),
                 jax.ShapeDtypeStruct((1, nloc), jnp.float32),
                 jax.ShapeDtypeStruct((4, nloc), jnp.int32),
@@ -1006,6 +1103,10 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             else jnp.zeros((nloc, 4), jnp.float32).at[:, 3].set(1.0)
         )
         rst_parts = [reset_vals.dof_pos, rb, rq]
+        if has_box2:
+            # validated non-None at env construction (envs/dexhand.py
+            # has_box2 reset contract)
+            rst_parts += [reset_vals.box2_pos, reset_vals.box2_quat]
         for k in rts_keys:
             rst_parts.append(
                 reset_vals.task_states[k].reshape(nloc, -1).astype(
@@ -1022,7 +1123,7 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             drn_T = jnp.ones((4, nloc), jnp.float32)
         spw_T = jnp.broadcast_to(spawn_const[:, None], (3, nloc))
 
-        rows_f, rows_i, obs_T, rew_T, msk_T, cmp_T = call_kernel(
+        rows_f, rows_i, rows_c, obs_T, rew_T, msk_T, cmp_T = call_kernel(
             state.rows_f, state.rows_i, actions.T, rst_T, drn_T, spw_T
         )
         obs = obs_T.T
@@ -1051,6 +1152,7 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         new_state = FusedEnvState(
             rows_f=rows_f,
             rows_i=rows_i,
+            rows_c=rows_c,
             consecutive_successes=consecutive,
             rng=key,
             difficulty=state.difficulty,

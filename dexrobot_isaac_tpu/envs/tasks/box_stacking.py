@@ -19,9 +19,10 @@ Reset curriculum: with `curriculum.enabled`, the platform distance and the
 initial randomization amplitudes scale with the runtime difficulty scalar
 (tasks/api.py curriculum_scale).
 
-Runs on the XLA step path: multi-object scenes have no fused-kernel lane
-implementation (envs/fused_step.py declines has_box2 and the trainer falls
-back — the same fallback BoxReorientation/BoxPushing use).
+Trains on the fused env-step kernel: `lane_step` below is the lane twin of
+`compute_step`, and the kernel carries the platform cube's 13 state lanes
+natively (envs/fused_step.py has_box2 support; parity in
+tests/test_fused_step.py::test_box_stacking).
 """
 
 from __future__ import annotations
@@ -270,6 +271,134 @@ class BoxStackingTask(DexTask):
             success_criteria=successes,
             failure_criteria=failures,
             reward_terms=r,
+        )
+
+    # ------------------------------------------------------------------
+    def lane_step(self, ctx):
+        """Lane-vector `compute_step` for the fused env-step kernel
+        (envs/fused_step.py): mirrors `compute_step` above term for term
+        (tests/test_fused_step.py asserts the two paths agree). First task
+        to use the kernel's multi-object lanes: ctx.box2_* carries the
+        platform cube."""
+        from types import SimpleNamespace
+
+        f32 = jnp.float32
+        obs_d, ts, dt = ctx.obs, ctx.ts, ctx.control_dt
+        box_pos, box_vel = ctx.box_pos, ctx.box_linvel
+        plat_pos = ctx.box2_pos
+
+        def sub(a, b):
+            return tuple(x - y for x, y in zip(a, b))
+
+        def norm(v):
+            return jnp.sqrt(sum(x * x for x in v))
+
+        target = (
+            plat_pos[0], plat_pos[1],
+            plat_pos[2] + (self.plat_size + self.box_size) / 2.0,
+        )
+        to_target = sub(target, box_pos)
+        transport_dist = norm(to_target)
+        xy_err = jnp.sqrt(
+            to_target[0] * to_target[0] + to_target[1] * to_target[1]
+        )
+        z_err = jnp.abs(to_target[2])
+        speed = norm(box_vel)
+
+        obs = {}
+        obs["object_pos"] = box_pos
+        obs["object_quat"] = ctx.box_quat
+        obs["object_vel"] = box_vel
+        obs["platform_pos"] = plat_pos
+        obs["platform_quat"] = ctx.box2_quat
+        obs["to_stack_target"] = to_target
+        obs["stack_dist"] = (transport_dist,)
+
+        pads = [
+            obs_d["fingerpad_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        d_f2o = tuple(norm(sub(p, box_pos)) for p in pads)
+        obs["finger_to_object_distances"] = d_f2o
+
+        # heuristic finger-box contact (tasks/api.py
+        # detect_finger_box_contacts, lane form)
+        box_has = norm(ctx.box_contact_force) > self.contact_binary_threshold
+        prox_thr = math.sqrt(3.0) * self.box_size / 2.0 * 1.2
+        fb = [
+            (obs_d["contact_binary"][i] > 0.5) & box_has
+            & (d_f2o[i] < prox_thr)
+            for i in range(5)
+        ]
+        obs["fingers_on_box"] = tuple(b.astype(f32) for b in fb)
+        n_on_i = fb[0].astype(jnp.int32)
+        for b in fb[1:]:
+            n_on_i = n_on_i + b.astype(jnp.int32)
+        n_on = n_on_i.astype(f32)
+
+        at_pose = (xy_err < self.position_tolerance) & (
+            z_err < self.height_tolerance
+        )
+        if self.release_anneal_end > 0.0:
+            allowed = jnp.floor(
+                3.0 * jnp.clip(
+                    1.0 - ts["spawn_difficulty"][0] / self.release_anneal_end,
+                    0.0, 1.0,
+                ) + 1e-6
+            ).astype(jnp.int32)
+        else:
+            allowed = jnp.zeros_like(n_on_i)
+        stacked = (
+            at_pose
+            & (speed < self.rest_speed_tolerance)
+            & (n_on_i <= allowed)
+        )
+        steps = jnp.where(stacked, ts["hold_duration_steps"][0] + 1, 0)
+        obs["hold_duration"] = (steps.astype(f32) * dt,)
+
+        threshold_steps = int(round(self.hold_duration_threshold / dt))
+        successes = {"stack_success": steps >= threshold_steps}
+        spawn_xy = ts["platform_spawn_xy"]
+        plat_moved = jnp.sqrt(
+            (plat_pos[0] - spawn_xy[0]) ** 2 + (plat_pos[1] - spawn_xy[1]) ** 2
+        )
+        failures = {
+            "box_too_far": jnp.sqrt(
+                box_pos[0] * box_pos[0] + box_pos[1] * box_pos[1]
+            ) > self.box_far_threshold,
+            "platform_moved": plat_moved > self.platform_move_tolerance,
+        }
+
+        r = {}
+        dmin = d_f2o[0]
+        for d in d_f2o[1:]:
+            dmin = jnp.minimum(dmin, d)
+        r["fingerpad_proximity"] = jnp.exp(-self.proximity_decay * dmin)
+        r["finger_contact"] = jnp.minimum(n_on, 3.0) / 3.0
+        held = (n_on_i >= 2) & (box_pos[2] > self.box_z + 0.02)
+        carrying = held & ~at_pose
+        r["lift"] = carrying.astype(f32)
+        r["transport"] = carrying.astype(f32) * jnp.exp(
+            -self.transport_decay * transport_dist
+        )
+        r["transport_delta"] = ts["prev_transport_dist"][0] - transport_dist
+        r["place"] = jnp.exp(-self.place_decay * (xy_err + z_err))
+        r["stacked_hold"] = stacked.astype(f32)
+        r["release"] = at_pose.astype(f32) * (
+            1.0 - jnp.minimum(n_on, 3.0) / 3.0
+        )
+
+        ts_new = {
+            "platform_spawn_xy": spawn_xy,
+            "hold_duration_steps": (steps,),
+            "prev_transport_dist": (transport_dist,),
+            "spawn_difficulty": ts["spawn_difficulty"],
+        }
+        # all four task states are provided by reset_task, so the sampled
+        # reset rows carry them verbatim
+        reset_ts = {k: ctx.reset_ts[k] for k in ts_new}
+        return SimpleNamespace(
+            task_obs=obs, ts_new=ts_new, success=successes,
+            failure=failures, rewards=r, reset_ts=reset_ts,
         )
 
     # ------------------------------------------------------------------

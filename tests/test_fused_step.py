@@ -110,6 +110,11 @@ class TestHybridParity:
     def test_in_hand_reorientation(self):
         _run_parity("InHandReorientation", steps=9, backend="hybrid")
 
+    def test_box_stacking(self):
+        # multi-object scene: exercises the kernel's box2 state lanes,
+        # box2 reset rows, and the 6-lane boxf split (fused_step.py has_box2)
+        _run_parity("BoxStacking", steps=9, backend="hybrid")
+
 
 class TestSupportChecks:
     def test_task_without_lane_step_is_refused(self):
