@@ -4,6 +4,14 @@ Parity with the reference's HTTPVideoStreamer (components/graphics/video/
 http_video_streamer.py:26-548): `/` landing page, `/stream` multipart MJPEG,
 `/stats` JSON, frame ring buffer, automatic port increment when the requested
 port is taken, opt-in bind-all.
+
+Beyond the reference: a keyboard channel. The reference's interactive keys
+live in a local Isaac viewer window (viewer_controller.py:185-350); this
+framework runs on headless TPU hosts where the only "window" is the browser
+viewing the MJPEG stream, so the landing page forwards keydown events to
+`GET /control?key=<name>` and the streamer hands them to `on_key` (wired to
+ViewerController.push_key, which queues them for the render thread — device
+ops must never run on an HTTP thread over the TPU tunnel).
 """
 
 from __future__ import annotations
@@ -11,9 +19,10 @@ from __future__ import annotations
 import json
 import threading
 import time
+import urllib.parse
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -25,7 +34,18 @@ _PAGE = b"""<html><head><title>DexHand TPU stream</title></head>
 <body style="background:#111;color:#eee;font-family:monospace">
 <h2>DexHand TPU live stream</h2>
 <img src="/stream" style="border:1px solid #444"/>
-<p><a href="/stats" style="color:#8cf">/stats</a></p>
+<p><a href="/stats" style="color:#8cf">/stats</a>
+&nbsp; keys: ENTER view &middot; F follow &middot; &uarr;/&darr; env &middot;
+E reset env &middot; SPACE random actions &middot; C contacts</p>
+<p id="k" style="color:#888"></p>
+<script>
+document.addEventListener('keydown', function (ev) {
+  if (ev.key === ' ' || ev.key === 'Enter' || ev.key.startsWith('Arrow'))
+    ev.preventDefault();
+  fetch('/control?key=' + encodeURIComponent(ev.key));
+  document.getElementById('k').textContent = 'sent: ' + ev.key;
+});
+</script>
 </body></html>"""
 
 
@@ -48,6 +68,9 @@ class HTTPVideoStreamer:
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._stats = {"frames_received": 0, "clients": 0, "started": time.time()}
+        # keyboard channel sink (set by ViewerController); called on an
+        # HTTP worker thread — implementations must only queue
+        self.on_key: Optional[Callable[[str], None]] = None
 
     def add_frame(self, frame: np.ndarray) -> None:
         """Encode an RGB frame to JPEG and publish it to connected clients."""
@@ -77,6 +100,16 @@ class HTTPVideoStreamer:
                     self.send_header("Content-Type", "text/html")
                     self.end_headers()
                     self.wfile.write(_PAGE)
+                elif self.path.startswith("/control"):
+                    qs = urllib.parse.urlparse(self.path).query
+                    key = urllib.parse.parse_qs(qs).get("key", [""])[0]
+                    if key and streamer.on_key is not None:
+                        streamer.on_key(key)
+                        streamer._stats["keys_received"] = (
+                            streamer._stats.get("keys_received", 0) + 1
+                        )
+                    self.send_response(204)
+                    self.end_headers()
                 elif self.path == "/stats":
                     body = json.dumps(streamer.stats()).encode()
                     self.send_response(200)

@@ -7,13 +7,18 @@ select, E reset env, SPACE random actions, C contact visualization toggle).
 
 On TPU hosts there is no Isaac viewer; this controller drives the host-side
 `SceneRenderer` into either a live matplotlib window (when a display exists)
-or the MJPEG streamer (headless), with the same interaction semantics
-(keyboard events come from the matplotlib window or are no-ops when
-streaming).
+or the MJPEG streamer (headless), with the same interaction semantics.
+Keyboard events come from the matplotlib window OR, when streaming, from the
+browser via the streamer's `/control?key=` endpoint: `push_key` queues them
+thread-safely and `render` drains the queue on the render thread (device
+callbacks like the E-key reset must never run on an HTTP worker thread —
+see CLAUDE.md TPU-tunnel gotchas).
 """
 
 from __future__ import annotations
 
+import threading
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -48,10 +53,36 @@ class ViewerController:
         self.show_contacts = True
         self._fig = None
         self._im = None
+        self._pending: deque = deque(maxlen=32)
+        self._pending_lock = threading.Lock()
+        if streamer is not None and hasattr(streamer, "on_key"):
+            streamer.on_key = self.push_key
 
     # ------------------------------------------------------------------
     # keyboard semantics (viewer_controller.py:185-350)
     # ------------------------------------------------------------------
+    _BROWSER_KEYS = {
+        "enter": "enter", "arrowup": "up", "arrowdown": "down",
+        " ": " ", "spacebar": " ", "space": " ",
+    }
+
+    def push_key(self, key: str) -> None:
+        """Thread-safe key enqueue (called from the streamer's HTTP worker
+        threads). Accepts browser KeyboardEvent.key names ("Enter",
+        "ArrowUp", " ", "e") and the internal names; `render` drains."""
+        k = self._BROWSER_KEYS.get(key.lower(), key.lower())
+        with self._pending_lock:
+            self._pending.append(k)
+
+    def drain_keys(self) -> None:
+        """Apply queued browser keys on the caller's (render) thread."""
+        while True:
+            with self._pending_lock:
+                if not self._pending:
+                    return
+                k = self._pending.popleft()
+            self.handle_key(k)
+
     def handle_key(self, key: str) -> None:
         if key == "enter":
             self.view_mode_idx = (self.view_mode_idx + 1) % len(VIEW_MODES)
@@ -90,6 +121,7 @@ class ViewerController:
     # ------------------------------------------------------------------
     def render(self, kin, physics, body_contact_force=None, has_box=True):
         """Render the selected env; display in window or stream."""
+        self.drain_keys()
         e = self.selected_env
         hand_pos = np.asarray(kin.body_pos[e, 5])
         self._apply_view(hand_pos)

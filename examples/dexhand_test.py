@@ -12,8 +12,13 @@ Usage:
     python examples/dexhand_test.py task=BlindGrasping steps=40
     python examples/dexhand_test.py videoRecord=true     # render sweep to mp4
     python examples/dexhand_test.py plot=true            # save obs/reward PNGs
+    python examples/dexhand_test.py live=true            # live charts over HTTP
     python examples/dexhand_test.py mode=contact         # box-contact exercise
     python examples/dexhand_test.py mode=rulebased       # rule-based controllers
+
+live=true serves real-time reward/DOF/contact series at
+http://127.0.0.1:8090 while the sweep runs (the reference harness streams the
+same series to Rerun, examples/dexhand_test.py:241-766; graphics/liveplot.py).
 """
 
 from __future__ import annotations
@@ -168,6 +173,7 @@ def main(argv=None) -> int:
     steps = 30
     mode = "sweep"
     plot = False
+    live = False
     keep = []
     for a in argv:
         if a.startswith("steps="):
@@ -176,10 +182,21 @@ def main(argv=None) -> int:
             mode = a.split("=", 1)[1]
         elif a.startswith("plot="):
             plot = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        elif a.startswith("live="):
+            live = a.split("=", 1)[1].lower() in ("1", "true", "yes")
         else:
             keep.append(a)
 
+    # device=cpu must take effect before any jnp dispatch (train.py:39-46
+    # does the same; jax is already imported via sitecustomize, so BOTH the
+    # env var and the config update are required — CLAUDE.md gotchas)
+    if any(a.split("=", 1) == ["device", "cpu"] for a in keep):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -263,6 +280,13 @@ def main(argv=None) -> int:
     env.reset()
     failures = []
     series = {"reward": [], "dof": []} if plot else None
+    liveplot = None
+    if live:
+        from dexrobot_isaac_tpu.graphics.liveplot import LivePlotServer
+
+        liveplot = LivePlotServer()
+        liveplot.start()
+        logger.info(f"Live charts: http://127.0.0.1:{liveplot.port}/")
     for a_idx in range(env.num_actions):
         env.reset()
         base_q = np.asarray(env.state.physics.q[0]).copy()
@@ -275,6 +299,17 @@ def main(argv=None) -> int:
             if series is not None and a_idx == 0:
                 series["reward"].append(float(rew_t[0]))
                 series["dof"].append(float(env.state.physics.q[0, 0]))
+            if liveplot is not None:
+                liveplot.log_many({
+                    "reward (env 0)": float(rew_t[0]),
+                    "action magnitude": float(mag),
+                    f"q[{a_idx}] sweep DOF": float(
+                        env.state.physics.q[0, mapping[a_idx][0][0]]
+                    ),
+                    "contacts (env 0)": float(
+                        np.asarray(env.state.prev_contact_binary[0]).sum()
+                    ),
+                })
             dev = np.maximum(
                 dev, np.abs(np.asarray(env.state.physics.q[0]) - base_q)
             )
@@ -307,6 +342,8 @@ def main(argv=None) -> int:
         recorder.stop_episode()
         recorder.close()
         renderer.close()
+    if liveplot is not None:
+        liveplot.stop()
 
     if series is not None and series["reward"]:
         # obs/reward time-series plots (the reference harness streams these

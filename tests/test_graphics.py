@@ -77,6 +77,27 @@ class TestStreamer:
         finally:
             s.stop()
 
+    def test_control_endpoint_forwards_keys(self):
+        """Browser keyboard channel: GET /control?key= drives on_key
+        (headless-host interactivity — VERDICT r2 item 8)."""
+        s = HTTPVideoStreamer(port=18131)
+        got = []
+        s.on_key = got.append
+        s.start()
+        try:
+            base = f"http://127.0.0.1:{s.port}"
+            body = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"/control?key=" in body  # landing page ships the JS
+            r = urllib.request.urlopen(base + "/control?key=Enter", timeout=5)
+            assert r.status == 204
+            urllib.request.urlopen(base + "/control?key=%20", timeout=5)
+            urllib.request.urlopen(base + "/control?key=e", timeout=5)
+            assert got == ["Enter", " ", "e"]
+            stats = urllib.request.urlopen(base + "/stats", timeout=5).read()
+            assert b"keys_received" in stats
+        finally:
+            s.stop()
+
     def test_port_auto_increment(self, frame):
         s1 = HTTPVideoStreamer(port=18123)
         s1.start()
@@ -138,6 +159,34 @@ class TestViewerController:
         assert not vc.show_contacts
         vc.renderer.close()
 
+    def test_browser_keys_queue_and_drain(self):
+        """push_key normalizes browser key names and defers application to
+        the render thread's drain (device ops stay off HTTP threads)."""
+        calls = []
+        vc, modes = self._make(calls)
+        for k in ("Enter", "ArrowUp", "ArrowUp", "e", " ", "F"):
+            vc.push_key(k)
+        # nothing applied yet
+        assert vc.view_mode_idx == 0 and vc.selected_env == 0 and not calls
+        vc.drain_keys()
+        assert vc.view_mode_idx == 1
+        assert vc.selected_env == 2
+        assert ("reset", 2) in calls and ("random",) in calls
+        assert vc.follow
+        assert not vc._pending
+        vc.renderer.close()
+
+    def test_streamer_on_key_autowired(self):
+        from dexrobot_isaac_tpu.graphics.viewer import ViewerController
+
+        model = build_hand_model()
+        r = SceneRenderer(model, resolution=(160, 120))
+        sink = _FrameSink()
+        sink.on_key = None
+        vc = ViewerController(r, num_envs=2, streamer=sink)
+        assert sink.on_key == vc.push_key
+        r.close()
+
     def test_render_selected_env(self):
         import jax.numpy as jnp
 
@@ -166,3 +215,43 @@ class _FrameSink:
 
     def add_frame(self, f):
         self.frames.append(f)
+
+
+class TestLivePlotServer:
+    """Harness live-series streaming (reference Rerun analog,
+    examples/dexhand_test.py:241-766; graphics/liveplot.py)."""
+
+    def test_log_serve_and_ring(self):
+        import json as _json
+
+        from dexrobot_isaac_tpu.graphics.liveplot import LivePlotServer
+
+        s = LivePlotServer(port=18151, maxlen=8)
+        s.start()
+        try:
+            for i in range(12):
+                s.log("reward", float(i))
+            s.log_many({"dof": 0.5, "contacts": 2.0})
+            base = f"http://127.0.0.1:{s.port}"
+            page = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"live series" in page and b"/data" in page
+            data = _json.loads(
+                urllib.request.urlopen(base + "/data", timeout=5).read()
+            )
+            assert data["reward"] == [float(i) for i in range(4, 12)]  # ring
+            assert data["dof"] == [0.5] and data["contacts"] == [2.0]
+        finally:
+            s.stop()
+
+    def test_port_auto_increment(self):
+        from dexrobot_isaac_tpu.graphics.liveplot import LivePlotServer
+
+        s1 = LivePlotServer(port=18161)
+        s1.start()
+        s2 = LivePlotServer(port=18161)
+        s2.start()
+        try:
+            assert s2.port == s1.port + 1
+        finally:
+            s1.stop()
+            s2.stop()
