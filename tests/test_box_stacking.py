@@ -217,7 +217,6 @@ class TestReset:
 
 class TestEnvIntegration:
     def test_env_builds_and_steps(self):
-        from dexrobot_isaac_tpu.envs.fused_step import FusedUnsupported
         from dexrobot_isaac_tpu.factory import make_env
         from dexrobot_isaac_tpu.utils.config import load_config
 
@@ -226,9 +225,13 @@ class TestEnvIntegration:
         assert env.num_actions == 18
         for key in ("platform_pos", "to_stack_target", "fingers_on_box"):
             assert key in env.obs_slices
-        # multi-object scenes refuse the fused kernel and fall back
-        with pytest.raises(FusedUnsupported):
-            env.make_fused()
+        # multi-object fused support (round 3): the env-step kernel builds
+        # for has_box2 scenes — layout carries the platform's 13 state
+        # lanes (parity: tests/test_fused_step.py::test_box_stacking)
+        fused = env.make_fused(interpret=True)
+        assert fused.layout.has_box2
+        for nm in ("box2_pos", "box2_quat", "box2_linvel", "box2_angvel"):
+            assert nm in fused.layout.offs_f
         obs = env.reset()
         assert np.isfinite(np.asarray(obs)).all()
         for _ in range(3):
