@@ -98,11 +98,16 @@ class BoxStackingTask(DexTask):
         self.curriculum_min_fraction = float(cur.get("min_fraction", 0.4))
         # reverse-spawn curriculum: this fraction of resets (annealed to 0
         # as difficulty -> 1, so full-difficulty EVAL is unaffected) start
-        # with the pick cube already resting on the platform — the policy
-        # experiences the at-pose/release/settle states that plain forward
-        # exploration rarely reaches (the "final inch" of stacking)
+        # with the pick cube on the platform and the hand caging it — the
+        # policy experiences the at-pose/release/settle states that plain
+        # forward exploration rarely reaches (the "final inch" of
+        # stacking). Default 0 (off): round 3 measured the hovering
+        # variant collapsing the policy into freebie-farming avoidance
+        # (BASELINE.md); the contact-allowance anneal is the default
+        # release bridge. If enabled, MUST stay below the curriculum
+        # promotion threshold (0.3).
         self.reverse_spawn_fraction = float(
-            cur.get("reverse_spawn_fraction", 0.3)
+            cur.get("reverse_spawn_fraction", 0.0)
         )
         # contact-allowance anneal (round-3 release lever): below this
         # difficulty, "stacked" tolerates some fingers still touching the
@@ -408,8 +413,8 @@ class BoxStackingTask(DexTask):
         n = num_envs
         (
             k_box, k_yaw, k_dir, k_dist, k_pyaw, k_trans, k_rot, k_fing,
-            k_rev, k_rjit,
-        ) = jax.random.split(key, 10)
+            k_rev, k_rjit, k_rfing,
+        ) = jax.random.split(key, 11)
         f32 = jnp.float32
 
         scale = curriculum_scale(
@@ -460,11 +465,17 @@ class BoxStackingTask(DexTask):
         fingers = jax.random.uniform(k_fing, (n, 20)) * self.finger_range * scale
         dof = dof.at[:, 6:26].set(fingers)
 
-        # reverse-spawn curriculum (see __init__): cube placed on the
-        # platform top with small jitter, hand base over the platform. The
-        # fraction anneals linearly to zero at difficulty 1.0; with the
-        # curriculum disabled (or at eval, which forces difficulty 1.0) no
-        # env reverse-spawns.
+        # reverse-spawn curriculum (see __init__): the cube starts ON the
+        # platform top with the hand CAGING it — fingertips in contact at
+        # the stack pose (round-3 redesign: the original hovering variant
+        # made reverse episodes a do-nothing success, and the policy
+        # collapsed to total avoidance — BASELINE.md BoxStacking notes).
+        # With contact at spawn, success requires actively withdrawing the
+        # fingers below the annealed allowance: exactly the release skill
+        # forward exploration never reaches. The fraction anneals linearly
+        # to zero at difficulty 1.0 (eval unaffected) and must stay BELOW
+        # the promotion threshold (cfg default 0.25 < 0.3) so reverse
+        # successes alone can never promote the curriculum.
         if self.curriculum_enabled:
             d = (
                 jnp.asarray(difficulty, f32)
@@ -485,10 +496,26 @@ class BoxStackingTask(DexTask):
                 axis=-1,
             )
             box_pos = jnp.where(rev[:, None], rev_box_pos, box_pos)
-            # hand over the platform so the scene stays reachable
-            dof = dof.at[:, 0:2].set(
-                jnp.where(rev[:, None], plat_xy, dof[:, 0:2])
+            box_quat = jnp.where(
+                rev[:, None],
+                jnp.asarray([0.0, 0.0, 0.0, 1.0], f32), box_quat,
             )
+            # caged hand posture (measured FK, dexhand021 at the task's
+            # initialHandPos z=0.22: fingertip cluster sits at base-DOF
+            # origin + (0.177, 0.017, -0.03)): base translation puts the
+            # tips at the cube on the platform, fingers pre-curled 0.35 rad
+            # -> 2-3 pads touch the cube at spawn (validated in
+            # tests/test_box_stacking.py reverse-spawn test)
+            stack_z = self.plat_size + self.box_size / 2.0
+            rev_dof = jnp.zeros_like(dof)
+            rev_dof = rev_dof.at[:, 0].set(plat_xy[:, 0] - 0.177)
+            rev_dof = rev_dof.at[:, 1].set(plat_xy[:, 1] - 0.017)
+            rev_dof = rev_dof.at[:, 2].set(stack_z - 0.19)
+            rev_fing = 0.35 + (
+                jax.random.uniform(k_rfing, (n, 20)) * 2 - 1
+            ) * 0.05
+            rev_dof = rev_dof.at[:, 6:26].set(rev_fing)
+            dof = jnp.where(rev[:, None], rev_dof, dof)
 
         ts = self.init_task_states(n)
         ts["platform_spawn_xy"] = plat_xy

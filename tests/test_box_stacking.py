@@ -195,6 +195,53 @@ class TestReset:
             rtol=1e-5,
         )
 
+    def test_reverse_spawns_off_by_default_and_caged_when_enabled(self):
+        """Reverse spawns default OFF (round 3: the hovering variant made
+        reverse episodes do-nothing successes and collapsed the policy to
+        freebie-farming avoidance — BASELINE.md BoxStacking). When enabled
+        via curriculum.reverse_spawn_fraction, spawns use the caged
+        posture: hand base at the platform (tip-cluster FK offset 0.177),
+        fingers pre-curled around the cube on the platform top."""
+        t_off = BoxStackingTask({
+            "box": {"size": S1}, "platform": {"size": S2},
+            "curriculum": {"enabled": True},
+        })
+        assert t_off.reverse_spawn_fraction == 0.0
+        r0 = t_off.reset_task(
+            jax.random.key(5), 256, jnp.zeros(26),
+            difficulty=jnp.asarray(0.0),
+        )
+        assert (np.asarray(r0.box_pos)[:, 2] < 0.09).all()  # no rev spawns
+
+        t = BoxStackingTask({
+            "box": {"size": S1}, "platform": {"size": S2},
+            "curriculum": {"enabled": True, "reverse_spawn_fraction": 0.25},
+        })
+        r = t.reset_task(
+            jax.random.key(5), 256, jnp.zeros(26),
+            difficulty=jnp.asarray(0.0),
+        )
+        box = np.asarray(r.box_pos)
+        dof = np.asarray(r.dof_pos)
+        plat = np.asarray(r.box2_pos)
+        rev = box[:, 2] > 0.09  # cube spawned on the platform top
+        assert 0.12 < rev.mean() < 0.40  # ~fraction*(1-d) at d=0
+        np.testing.assert_allclose(
+            dof[rev, 0], plat[rev, 0] - 0.177, atol=0.006
+        )
+        np.testing.assert_allclose(
+            dof[rev, 2], (S2 + S1 / 2) - 0.19, atol=1e-5
+        )
+        assert (dof[rev, 6:26] > 0.25).all()
+        # cube centered on the platform, upright
+        np.testing.assert_allclose(box[rev, :2], plat[rev, :2], atol=0.006)
+        # at difficulty 1.0 (eval) no reverse spawns regardless
+        r1 = t.reset_task(
+            jax.random.key(5), 256, jnp.zeros(26),
+            difficulty=jnp.asarray(1.0),
+        )
+        assert (np.asarray(r1.box_pos)[:, 2] < 0.09).all()
+
     def test_curriculum_scales_platform_distance(self):
         t = BoxStackingTask({
             "box": {"size": S1}, "platform": {"size": S2},
