@@ -126,6 +126,16 @@ class BlindGraspingTask(DexTask):
         )
         self.penetration_depth_scale = float(pp.get("penetrationDepthScale", 100.0))
 
+        # Under-box clearance shaping (beyond-reference; round-3 lever for
+        # the dominant hitting_ground failure: fingertips grazing z<0 while
+        # scooping under the ground-resting box). The term penalizes tips
+        # inside the box XY footprint below a clearance margin while the box
+        # is still near the ground; its reward weight is 0 (off) by default.
+        cs = c.get("clearance_shaping", {}) or {}
+        self.under_box_margin = float(cs.get("under_margin", 0.01))
+        self.under_box_footprint_factor = float(cs.get("footprint_factor", 1.4))
+        self.under_box_ground_z = float(cs.get("box_near_ground_z", 0.10))
+
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
         """Add the box to the scene (parity: load_task_assets +
@@ -388,6 +398,20 @@ class BlindGraspingTask(DexTask):
         threshold = self.box_size / 2.0 * self.geometric_penetration_factor
         depth = jnp.clip(threshold - min_dist, 0.0, None)
         r["penetration_penalty"] = depth * self.penetration_depth_scale
+
+        # --- under-box clearance penalty (beyond-reference; weight 0 off) ---
+        n = box_pos.shape[0]
+        tips3 = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        half = self.box_size / 2.0 * self.under_box_footprint_factor
+        in_fp = (
+            (jnp.abs(tips3[:, :, 0] - box_pos[:, None, 0]) < half)
+            & (jnp.abs(tips3[:, :, 1] - box_pos[:, None, 1]) < half)
+        )
+        low = jnp.clip(self.under_box_margin - tips3[:, :, 2], 0.0, None)
+        near_ground = (box_pos[:, 2] < self.under_box_ground_z).astype(f32)
+        r["under_box_penalty"] = (
+            (in_fp.astype(f32) * low).sum(axis=1) * near_ground
+        )
         return r
 
     # ------------------------------------------------------------------
@@ -586,6 +610,20 @@ class BlindGraspingTask(DexTask):
         threshold = self.box_size / 2.0 * self.geometric_penetration_factor
         depth = jnp.clip(threshold - min_dist, 0.0, None)
         r["penetration_penalty"] = depth * self.penetration_depth_scale
+
+        # under-box clearance penalty twin (weight 0 off by default)
+        half = self.box_size / 2.0 * self.under_box_footprint_factor
+        near_ground = (box_pos[2] < self.under_box_ground_z).astype(f32)
+        under = zero
+        for t in tips:
+            in_fp = (
+                (jnp.abs(t[0] - box_pos[0]) < half)
+                & (jnp.abs(t[1] - box_pos[1]) < half)
+            ).astype(f32)
+            under = under + in_fp * jnp.clip(
+                self.under_box_margin - t[2], 0.0, None
+            )
+        r["under_box_penalty"] = under * near_ground
 
         izero = jnp.zeros_like(stage)
         ts_new = {

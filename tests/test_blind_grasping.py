@@ -260,3 +260,43 @@ class TestReset:
                             difficulty=jnp.asarray(0.0, jnp.float32))
         dof = np.asarray(r.dof_pos)
         assert np.abs(dof[:, 0:3]).max() > 0.8 * task.hand_translation_range
+
+
+class TestUnderBoxClearancePenalty:
+    """Round-3 shaping term: tips under the box footprint near the ground
+    (weight 0 by default — the term itself must still be exact)."""
+
+    def test_scooping_tip_pays_margin_minus_height(self, task):
+        box_pos = np.tile([0.1, 0.0, 0.025], (N, 1))
+        pads = np.tile([0.5, 0.5, 0.5], (N, 5, 1))   # all tips far away
+        pads[:, 2] = [0.11, 0.01, 0.002]             # one tip under the box
+        step = run_step(task, make_obs(pads), task.init_task_states(N),
+                        make_physics(box_pos))
+        np.testing.assert_allclose(
+            np.asarray(step.reward_terms["under_box_penalty"]),
+            task.under_box_margin - 0.002, atol=1e-6,
+        )
+
+    def test_zero_outside_footprint_or_above_margin(self, task):
+        box_pos = np.tile([0.1, 0.0, 0.025], (N, 1))
+        ts = task.init_task_states(N)
+        # low tip but outside the XY footprint (half*1.4 = 0.035)
+        pads = np.tile([0.5, 0.5, 0.5], (N, 5, 1))
+        pads[:, 2] = [0.15, 0.0, 0.002]
+        step = run_step(task, make_obs(pads), ts, make_physics(box_pos))
+        np.testing.assert_allclose(
+            np.asarray(step.reward_terms["under_box_penalty"]), 0.0)
+        # in footprint but above the clearance margin
+        pads[:, 2] = [0.1, 0.0, 0.03]
+        step = run_step(task, make_obs(pads), ts, make_physics(box_pos))
+        np.testing.assert_allclose(
+            np.asarray(step.reward_terms["under_box_penalty"]), 0.0)
+
+    def test_zero_once_box_lifted(self, task):
+        box_pos = np.tile([0.1, 0.0, 0.25], (N, 1))  # above box_near_ground_z
+        pads = np.tile([0.5, 0.5, 0.5], (N, 5, 1))
+        pads[:, 2] = [0.1, 0.0, 0.002]
+        step = run_step(task, make_obs(pads), task.init_task_states(N),
+                        make_physics(box_pos))
+        np.testing.assert_allclose(
+            np.asarray(step.reward_terms["under_box_penalty"]), 0.0)

@@ -48,8 +48,10 @@ def _assert_state_close(a, b, atol):
     jax.tree.map_with_path(cmp, a, b)
 
 
-def _run_parity(task, steps, backend, atol=1e-5):
-    cfg = load_config([f"task={task}", "numEnvs=4", "env.episodeLength=6"])
+def _run_parity(task, steps, backend, atol=1e-5, overrides=()):
+    cfg = load_config(
+        [f"task={task}", "numEnvs=4", "env.episodeLength=6", *overrides]
+    )
     env = make_env(cfg)
     fused = env.make_fused(backend=backend)
 
@@ -114,6 +116,14 @@ class TestHybridParity:
         # multi-object scene: exercises the kernel's box2 state lanes,
         # box2 reset rows, and the 6-lane boxf split (fused_step.py has_box2)
         _run_parity("BoxStacking", steps=9, backend="hybrid")
+
+    def test_blind_grasping_clearance_shaping(self):
+        # under_box_penalty is weight-0 (skipped at trace time) in the stock
+        # config; activate it so the lane twin participates in the reward sum
+        _run_parity(
+            "BlindGrasping", steps=9, backend="hybrid",
+            overrides=("task.reward_weights.under_box_penalty=-150.0",),
+        )
 
 
 class TestSupportChecks:
