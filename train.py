@@ -597,6 +597,11 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
     returns = []
     ep_ret = np.zeros(env.num_envs)
     succ = fail = tout = 0
+    # per-reason termination breakdown (reference per-criterion tracking,
+    # termination_manager.py:160-266): the XLA step path's extras carry
+    # episode-scoped `{success,failure}_reason_<name>` flags; counted at
+    # the done step they attribute each terminal to its fired criteria.
+    reason_counts: dict = {}
     try:
         while games_target == 0 or games < games_target:
             t_frame = time.time()
@@ -671,6 +676,11 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
                 succ += int(np.asarray(extras["success"])[idx].sum())
                 fail += int(np.asarray(extras["failure"])[idx].sum())
                 tout += int(np.asarray(extras["timeout"])[idx].sum())
+                for k, v in extras.items():
+                    if k.startswith(("success_reason_", "failure_reason_")):
+                        reason_counts[k] = reason_counts.get(k, 0) + int(
+                            np.asarray(v)[idx].sum()
+                        )
                 logger.info(
                     f"games {games}/{games_target or 'inf'} "
                     f"avg return {np.mean(returns):.2f} "
@@ -694,6 +704,13 @@ def run_test(cfg, env, learner, ppo, run_dir, logger) -> int:
             f"{np.mean(returns):.3f}, success rate "
             f"{succ / max(1, len(returns)):.3f}"
         )
+        if reason_counts:
+            n_ep = max(1, len(returns))
+            split = ", ".join(
+                f"{k.replace('_reason_', ':')} {v / n_ep:.3f}"
+                for k, v in sorted(reason_counts.items()) if v
+            )
+            logger.info(f"Termination reasons: {split or 'none fired'}")
     return 0
 
 
