@@ -118,6 +118,21 @@ class BoxStackingTask(DexTask):
         # forces difficulty 1.0) the criterion is the strict released
         # stack — eval semantics are unchanged. 0 disables (always strict).
         self.release_anneal_end = float(cur.get("release_anneal_end", 0.0))
+        # at-pose bridge anneal (round-3 retune): the same bridge scalar
+        # that anneals the contact allowance also (a) relaxes the stacked
+        # position/height tolerances by tolerance_relax x at d=0 -> 1x at
+        # d>=release_anneal_end and (b) shortens the required hold from
+        # hold_duration_threshold to hold_anneal_min seconds at d=0.
+        # Rationale (measured, BASELINE.md): with the strict 2 cm/1.5 cm
+        # pocket the carry policy converges to hovering ~6 cm away farming
+        # carry rewards — the pocket is never experienced, so the success
+        # value never backs up. A relaxed pocket overlaps the hover noise;
+        # the criterion tightens to strict as the curriculum climbs, and
+        # EVAL (difficulty 1.0) is always strict. Defaults are neutral.
+        self.tolerance_relax = float(cur.get("tolerance_relax", 1.0))
+        self.hold_anneal_min = float(
+            cur.get("hold_anneal_min", self.hold_duration_threshold)
+        )
 
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
@@ -195,21 +210,22 @@ class BoxStackingTask(DexTask):
         # cube — without it a policy could hover-hold the grasped cube at
         # the stack pose for hold_duration_threshold and "succeed" without
         # ever placing it (mirrors how lift/transport are gated on `held`)
-        at_pose = (xy_err < self.position_tolerance) & (
-            z_err < self.height_tolerance
-        )
-        # contact-allowance anneal (see __init__): fingers allowed on the
-        # cube while "stacked", stepping 3 -> 0 with the spawn difficulty;
+        # bridge anneal (see __init__): 1 at d=0 -> 0 at d>=anneal_end;
         # release_anneal_end == 0.0 keeps the strict criterion everywhere
         if self.release_anneal_end > 0.0:
-            allowed = jnp.floor(
-                3.0 * jnp.clip(
-                    1.0 - ts["spawn_difficulty"] / self.release_anneal_end,
-                    0.0, 1.0,
-                ) + 1e-6
-            ).astype(jnp.int32)
+            bridge = jnp.clip(
+                1.0 - ts["spawn_difficulty"] / self.release_anneal_end,
+                0.0, 1.0,
+            )
         else:
-            allowed = jnp.zeros(n, dtype=jnp.int32)
+            bridge = jnp.zeros(n, dtype=f32)
+        relax = 1.0 + (self.tolerance_relax - 1.0) * bridge
+        at_pose = (xy_err < self.position_tolerance * relax) & (
+            z_err < self.height_tolerance * relax
+        )
+        # contact-allowance anneal: fingers allowed on the cube while
+        # "stacked", stepping 3 -> 0 with the spawn difficulty
+        allowed = jnp.floor(3.0 * bridge + 1e-6).astype(jnp.int32)
         stacked = (
             at_pose
             & (speed < self.rest_speed_tolerance)
@@ -220,9 +236,10 @@ class BoxStackingTask(DexTask):
         obs["hold_duration"] = (steps.astype(f32) * control_dt)[:, None]
 
         # ---------- criteria ----------
-        threshold_steps = int(
-            round(self.hold_duration_threshold / control_dt)
-        )
+        hold_secs = self.hold_duration_threshold - (
+            self.hold_duration_threshold - self.hold_anneal_min
+        ) * bridge
+        threshold_steps = jnp.round(hold_secs / control_dt).astype(jnp.int32)
         successes = {"stack_success": steps >= threshold_steps}
         plat_moved = jnp.linalg.norm(
             plat_pos[:, :2] - ts["platform_spawn_xy"], axis=-1
@@ -340,18 +357,19 @@ class BoxStackingTask(DexTask):
             n_on_i = n_on_i + b.astype(jnp.int32)
         n_on = n_on_i.astype(f32)
 
-        at_pose = (xy_err < self.position_tolerance) & (
-            z_err < self.height_tolerance
-        )
+        # bridge anneal twin (compute_step above)
         if self.release_anneal_end > 0.0:
-            allowed = jnp.floor(
-                3.0 * jnp.clip(
-                    1.0 - ts["spawn_difficulty"][0] / self.release_anneal_end,
-                    0.0, 1.0,
-                ) + 1e-6
-            ).astype(jnp.int32)
+            bridge = jnp.clip(
+                1.0 - ts["spawn_difficulty"][0] / self.release_anneal_end,
+                0.0, 1.0,
+            )
         else:
-            allowed = jnp.zeros_like(n_on_i)
+            bridge = jnp.zeros_like(xy_err)
+        relax = 1.0 + (self.tolerance_relax - 1.0) * bridge
+        at_pose = (xy_err < self.position_tolerance * relax) & (
+            z_err < self.height_tolerance * relax
+        )
+        allowed = jnp.floor(3.0 * bridge + 1e-6).astype(jnp.int32)
         stacked = (
             at_pose
             & (speed < self.rest_speed_tolerance)
@@ -360,7 +378,10 @@ class BoxStackingTask(DexTask):
         steps = jnp.where(stacked, ts["hold_duration_steps"][0] + 1, 0)
         obs["hold_duration"] = (steps.astype(f32) * dt,)
 
-        threshold_steps = int(round(self.hold_duration_threshold / dt))
+        hold_secs = self.hold_duration_threshold - (
+            self.hold_duration_threshold - self.hold_anneal_min
+        ) * bridge
+        threshold_steps = jnp.round(hold_secs / dt).astype(jnp.int32)
         successes = {"stack_success": steps >= threshold_steps}
         spawn_xy = ts["platform_spawn_xy"]
         plat_moved = jnp.sqrt(

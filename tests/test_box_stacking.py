@@ -290,3 +290,60 @@ class TestEnvIntegration:
         # both free bodies are live in the state
         assert env.state.physics.box2_pos is not None
         assert np.isfinite(np.asarray(env.state.physics.box2_pos)).all()
+
+
+class TestBridgeAnneal:
+    """Round-3 at-pose bridge: tolerances/hold/contact-allowance share one
+    anneal scalar driven by spawn_difficulty (strict at eval)."""
+
+    def _task(self):
+        return BoxStackingTask({
+            "box": {"size": S1, "initial_position": {"z": 0.027}},
+            "platform": {"size": S2},
+            "curriculum": {
+                "enabled": True,
+                "release_anneal_end": 0.75,
+                "tolerance_relax": 2.0,
+                "hold_anneal_min": 0.2,
+            },
+        })
+
+    def test_relaxed_pocket_and_short_hold_at_difficulty_zero(self):
+        t = self._task()
+        ts = t.init_task_states(N)
+        ts["spawn_difficulty"] = jnp.zeros(N, jnp.float32)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        # 3 cm XY off the stack point: outside the strict 2 cm pocket,
+        # inside the relaxed 4 cm one
+        phys = make_physics(box_pos=np.tile([0.23, 0.0, STACK_Z], (N, 1)))
+        obs = make_obs()
+        step = None
+        for i in range(5):   # hold_anneal_min 0.2 s / 0.04 = 5 steps
+            step = t.compute_step(
+                obs, ts, phys, None, jnp.zeros((N, 26, 3)),
+                jnp.zeros((N, 3)), DT, box2_contact_force=jnp.zeros((N, 3)),
+            )
+            ts = step.task_states
+            assert int(ts["hold_duration_steps"][0]) == i + 1
+        assert bool(step.success_criteria["stack_success"][0])
+
+    def test_strict_at_difficulty_one(self):
+        t = self._task()
+        ts = t.init_task_states(N)   # spawn_difficulty defaults to 1.0
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        phys = make_physics(box_pos=np.tile([0.23, 0.0, STACK_Z], (N, 1)))
+        step = t.compute_step(
+            make_obs(), ts, phys, None, jnp.zeros((N, 26, 3)),
+            jnp.zeros((N, 3)), DT, box2_contact_force=jnp.zeros((N, 3)),
+        )
+        # 3 cm off: not stacked under the strict 2 cm tolerance
+        assert int(step.task_states["hold_duration_steps"][0]) == 0
+        # and a perfectly stacked cube needs the FULL hold at difficulty 1
+        phys = stacked_physics()
+        for i in range(5):
+            step = t.compute_step(
+                make_obs(), ts, phys, None, jnp.zeros((N, 26, 3)),
+                jnp.zeros((N, 3)), DT, box2_contact_force=jnp.zeros((N, 3)),
+            )
+            ts = step.task_states
+        assert not bool(step.success_criteria["stack_success"][0])  # 5 < 12
