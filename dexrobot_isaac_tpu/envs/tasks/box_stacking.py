@@ -248,7 +248,12 @@ class BoxStackingTask(DexTask):
             "box_too_far": jnp.linalg.norm(
                 box_pos[:, :2], axis=-1
             ) > self.box_far_threshold,
-            "platform_moved": plat_moved > self.platform_move_tolerance,
+            # platform drift tolerance rides the same bridge (2x at d=0):
+            # at low difficulty the platform spawns only ~4-6 cm away, so
+            # a strict 5 cm limit turns every near-platform approach into
+            # a -100 lottery and teaches approach AVOIDANCE (measured:
+            # lift raw declined 0.15 -> 0.06 over 10k iters, failure 96%)
+            "platform_moved": plat_moved > self.platform_move_tolerance * relax,
         }
 
         # ---------- rewards ----------
@@ -391,7 +396,8 @@ class BoxStackingTask(DexTask):
             "box_too_far": jnp.sqrt(
                 box_pos[0] * box_pos[0] + box_pos[1] * box_pos[1]
             ) > self.box_far_threshold,
-            "platform_moved": plat_moved > self.platform_move_tolerance,
+            # bridge-scaled drift tolerance (compute_step above)
+            "platform_moved": plat_moved > self.platform_move_tolerance * relax,
         }
 
         r = {}

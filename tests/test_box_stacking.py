@@ -347,3 +347,20 @@ class TestBridgeAnneal:
             )
             ts = step.task_states
         assert not bool(step.success_criteria["stack_success"][0])  # 5 < 12
+
+    def test_platform_drift_tolerance_rides_the_bridge(self):
+        t = self._task()
+        ts = t.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        # platform drifted 8 cm from spawn: beyond the strict 5 cm limit,
+        # within the relaxed 10 cm one
+        phys = make_physics(plat_pos=np.tile([0.28, 0.0, S2 / 2], (N, 1)))
+        def step_at(d):
+            ts2 = dict(ts)
+            ts2["spawn_difficulty"] = jnp.full(N, d, jnp.float32)
+            return t.compute_step(
+                make_obs(), ts2, phys, None, jnp.zeros((N, 26, 3)),
+                jnp.zeros((N, 3)), DT, box2_contact_force=jnp.zeros((N, 3)),
+            )
+        assert not bool(step_at(0.0).failure_criteria["platform_moved"][0])
+        assert bool(step_at(1.0).failure_criteria["platform_moved"][0])

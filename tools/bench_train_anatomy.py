@@ -86,19 +86,24 @@ def main() -> int:
           f"({t_full*1e3:7.2f} ms; update+gae = "
           f"{(t_full-t_roll)*1e3:.2f} ms)")
 
-    # 4. chunked x8
-    chunk = 8
-    cstep = learner.make_chunked_train_step(chunk)
-    ppo2, fs3, obs3, m, e = cstep(ppo, fs, obs)
-    jax.block_until_ready(m["kl"])
-    best = 1e9
-    for _ in range(3):
-        t0 = time.time()
-        ppo2, fs3, obs3, m, e = cstep(ppo2, fs3, obs3)
+    # 4. chunked dispatch at increasing depths (argv[3]: comma-separated,
+    # default "8" — e.g. "8,16,32" sweeps whether deeper chunks keep
+    # amortizing the per-iteration host round trip)
+    chunks = [int(c) for c in (
+        sys.argv[3] if len(sys.argv) > 3 else "8"
+    ).split(",")]
+    for chunk in chunks:
+        cstep = learner.make_chunked_train_step(chunk)
+        ppo2, fs3, obs3, m, e = cstep(ppo, fs, obs)
         jax.block_until_ready(m["kl"])
-        best = min(best, time.time() - t0)
-    print(f"chunked x{chunk} iteration: {n*T*chunk/best:12,.0f} env-steps/s "
-          f"({best*1e3/chunk:7.2f} ms/iter)")
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            ppo2, fs3, obs3, m, e = cstep(ppo2, fs3, obs3)
+            jax.block_until_ready(m["kl"])
+            best = min(best, time.time() - t0)
+        print(f"chunked x{chunk} iteration: {n*T*chunk/best:12,.0f} "
+              f"env-steps/s ({best*1e3/chunk:7.2f} ms/iter)")
     return 0
 
 
