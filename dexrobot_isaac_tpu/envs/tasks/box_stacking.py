@@ -133,6 +133,15 @@ class BoxStackingTask(DexTask):
         self.hold_anneal_min = float(
             cur.get("hold_anneal_min", self.hold_duration_threshold)
         )
+        # per-env difficulty band: spawn each env at a difficulty sampled
+        # U(d - band, d) so recently-mastered settings keep appearing after
+        # a promotion — success experience (and its value gradient)
+        # survives the discrete bridge steps (the contact-allowance 2 -> 1
+        # transition is unlearnable cold: measured success 0.3 -> 0.0
+        # collapse right after promotion). The band collapses to zero at
+        # difficulty 1.0, so full-difficulty training and EVAL always use
+        # the exact target distribution. 0 disables.
+        self.difficulty_band = float(cur.get("difficulty_band", 0.0))
 
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
@@ -440,13 +449,26 @@ class BoxStackingTask(DexTask):
         n = num_envs
         (
             k_box, k_yaw, k_dir, k_dist, k_pyaw, k_trans, k_rot, k_fing,
-            k_rev, k_rjit, k_rfing,
-        ) = jax.random.split(key, 11)
+            k_rev, k_rjit, k_rfing, k_band,
+        ) = jax.random.split(key, 12)
         f32 = jnp.float32
+
+        # per-env difficulty band (see __init__); collapses at difficulty
+        # 1.0 so eval and full-difficulty training stay exact
+        if (
+            self.curriculum_enabled and difficulty is not None
+            and self.difficulty_band > 0.0
+        ):
+            d0 = jnp.asarray(difficulty, f32)
+            band = jnp.where(d0 < 1.0, self.difficulty_band, 0.0)
+            difficulty = jnp.clip(
+                d0 - jax.random.uniform(k_band, (n,)) * band, 0.0, 1.0
+            )
 
         scale = curriculum_scale(
             difficulty, self.curriculum_min_fraction, self.curriculum_enabled
         )
+        scale_col = scale[:, None] if getattr(scale, "ndim", 0) == 1 else scale
 
         # pick cube: under the hand, like BlindGrasping
         xy = (jax.random.uniform(k_box, (n, 2)) * 2 - 1) * self.box_xy_range
@@ -482,14 +504,16 @@ class BoxStackingTask(DexTask):
         dof = jnp.tile(default_dof_pos[None], (n, 1))
         trans = (
             (jax.random.uniform(k_trans, (n, 3)) * 2 - 1)
-            * self.hand_translation_range * scale
+            * self.hand_translation_range * scale_col
         )
         rot = (
             (jax.random.uniform(k_rot, (n, 3)) * 2 - 1)
-            * self.hand_rotation_range * scale
+            * self.hand_rotation_range * scale_col
         )
         dof = dof.at[:, 0:3].set(trans).at[:, 3:6].set(rot)
-        fingers = jax.random.uniform(k_fing, (n, 20)) * self.finger_range * scale
+        fingers = (
+            jax.random.uniform(k_fing, (n, 20)) * self.finger_range * scale_col
+        )
         dof = dof.at[:, 6:26].set(fingers)
 
         # reverse-spawn curriculum (see __init__): the cube starts ON the

@@ -364,3 +364,23 @@ class TestBridgeAnneal:
             )
         assert not bool(step_at(0.0).failure_criteria["platform_moved"][0])
         assert bool(step_at(1.0).failure_criteria["platform_moved"][0])
+
+    def test_difficulty_band_spawns(self):
+        t = BoxStackingTask({
+            "box": {"size": S1}, "platform": {"size": S2},
+            "curriculum": {
+                "enabled": True, "release_anneal_end": 0.75,
+                "difficulty_band": 0.3,
+            },
+        })
+        zero = jnp.zeros(26, dtype=jnp.float32)
+        r = t.reset_task(jax.random.key(0), 512, zero,
+                         difficulty=jnp.asarray(0.5, jnp.float32))
+        sd = np.asarray(r.task_states["spawn_difficulty"])
+        assert sd.min() >= 0.2 - 1e-6 and sd.max() <= 0.5 + 1e-6
+        assert sd.std() > 0.05          # genuinely spread over the band
+        # band collapses at difficulty 1.0 (eval distribution exact)
+        r1 = t.reset_task(jax.random.key(1), 64, zero,
+                          difficulty=jnp.asarray(1.0, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(r1.task_states["spawn_difficulty"]), 1.0)

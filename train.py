@@ -346,6 +346,19 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
     cur_thresh = float(cur_cfg.get("promote_success_rate", 0.3))
     cur_min_episodes = int(cur_cfg.get("min_episodes", 500))
     cur_succ = cur_done = 0
+    # promotion cooldown: only count episodes SPAWNED at the current
+    # difficulty. Without it, the thousands of in-flight episodes spawned
+    # at the previous (easier) difficulty finish within seconds of a
+    # promotion and immediately clear the threshold again — measured as a
+    # 0 -> 0.45 promotion cascade inside ~80 iterations that overshot the
+    # policy's actual mastery and stalled the run. An episode spawned just
+    # before a promotion can last max_episode_length more steps, i.e.
+    # ceil(episodeLength / horizon) iterations.
+    cur_cooldown_iters = (
+        int(get_by_path(cfg, "env.episodeLength", 500))
+        + learner.cfg.horizon_length - 1
+    ) // learner.cfg.horizon_length + 1
+    cur_cooldown_until = 0
     breakdown = None  # DeviceBreakdown, created from the first iteration's extras
 
     # profiling (reference exposes only Isaac's overlay; here a real trace):
@@ -434,8 +447,11 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
 
             if cur_enabled and difficulty < 1.0:
                 ep_count = np.asarray(summary["ep_count"])
-                cur_succ += int(ep_count[0])
-                cur_done += int(ep_count.sum())
+                if it < cur_cooldown_until:
+                    pass  # episodes still spawned at the previous difficulty
+                else:
+                    cur_succ += int(ep_count[0])
+                    cur_done += int(ep_count.sum())
                 if cur_done >= cur_min_episodes:
                     rate = cur_succ / cur_done
                     if rate >= cur_thresh:
@@ -448,6 +464,7 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
                             f"Curriculum: success rate {rate:.2f} over "
                             f"{cur_done} episodes -> difficulty {difficulty:.2f}"
                         )
+                        cur_cooldown_until = it + cur_cooldown_iters
                     cur_succ = cur_done = 0
 
             if m["reward_mean"] > best_reward and it >= int(
