@@ -889,7 +889,10 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
 
         # --- termination ---
         failure_crit = dict(lt.failure)
-        if tcfg.has_height_safety:
+        # a task-provided hitting_ground overrides the builtin (same
+        # precedence as the XLA path's {**builtin, **task} merge in
+        # envs/dexhand.py — e.g. BoxStacking's bridge-annealed variant)
+        if tcfg.has_height_safety and "hitting_ground" not in failure_crit:
             hand_z = ph.hand_pos[2]
             tipz = [obs["fingertip_poses_world"][7 * i + 2] for i in range(5)]
             min_tip = tipz[0]

@@ -143,6 +143,30 @@ class BoxStackingTask(DexTask):
         # the exact target distribution. 0 disables.
         self.difficulty_band = float(cur.get("difficulty_band", 0.0))
 
+        # bridge-annealed hitting_ground (round-3; measured attribution:
+        # 74% of failures at difficulty 0.45 were hitting_ground — tips
+        # grazing z<0 while working the ground-resting cube, the same trap
+        # as BlindGrasping's dominant failure). When margin > 0 the task
+        # overrides the builtin criterion with one whose fingertip limit
+        # relaxes to (threshold - margin*bridge); strict at d>=anneal_end
+        # and at eval. 0 keeps the builtin.
+        term = c.get("termination", {}) or {}
+        hsafe = term.get("height_safety", {}) or {}
+        self.handbase_threshold = float(hsafe.get("handbase_threshold", 0.0))
+        self.fingertip_threshold = float(hsafe.get("fingertip_threshold", 0.0))
+        self.fingertip_bridge_margin = float(
+            hsafe.get("fingertip_bridge_margin", 0.0)
+        )
+
+        # under-box clearance shaping (same rationale and formula as
+        # BlindGrasping's round-3 term): penalize tips inside the cube's
+        # XY footprint below a clearance margin while the cube is near the
+        # ground — scooping is what causes the ground grazes.
+        cs = c.get("clearance_shaping", {}) or {}
+        self.under_box_margin = float(cs.get("under_margin", 0.01))
+        self.under_box_footprint_factor = float(cs.get("footprint_factor", 1.4))
+        self.under_box_ground_z = float(cs.get("box_near_ground_z", 0.10))
+
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
         import dataclasses
@@ -264,6 +288,16 @@ class BoxStackingTask(DexTask):
             # lift raw declined 0.15 -> 0.06 over 10k iters, failure 96%)
             "platform_moved": plat_moved > self.platform_move_tolerance * relax,
         }
+        tips3 = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)[:, :, :3]
+        if self.fingertip_bridge_margin > 0.0:
+            # bridged hitting_ground override (see __init__); takes
+            # precedence over the builtin in both step paths
+            failures["hitting_ground"] = (
+                (obs_dict["hand_pose"][:, 2] < self.handbase_threshold)
+                | (tips3[:, :, 2].min(axis=1)
+                   < self.fingertip_threshold
+                   - self.fingertip_bridge_margin * bridge)
+            )
 
         # ---------- rewards ----------
         r: Dict[str, jnp.ndarray] = {}
@@ -298,6 +332,17 @@ class BoxStackingTask(DexTask):
         # carrying the cube to the pose.
         r["release"] = at_pose.astype(f32) * (
             1.0 - jnp.minimum(n_on, 3.0) / 3.0
+        )
+        # under-box clearance penalty (see __init__; BlindGrasping twin)
+        half = self.box_size / 2.0 * self.under_box_footprint_factor
+        in_fp = (
+            (jnp.abs(tips3[:, :, 0] - box_pos[:, None, 0]) < half)
+            & (jnp.abs(tips3[:, :, 1] - box_pos[:, None, 1]) < half)
+        )
+        low = jnp.clip(self.under_box_margin - tips3[:, :, 2], 0.0, None)
+        near_ground = (box_pos[:, 2] < self.under_box_ground_z).astype(f32)
+        r["under_box_penalty"] = (
+            (in_fp.astype(f32) * low).sum(axis=1) * near_ground
         )
         ts["prev_transport_dist"] = transport_dist
 
@@ -408,6 +453,18 @@ class BoxStackingTask(DexTask):
             # bridge-scaled drift tolerance (compute_step above)
             "platform_moved": plat_moved > self.platform_move_tolerance * relax,
         }
+        tips = [
+            obs_d["fingertip_poses_world"][7 * i:7 * i + 3] for i in range(5)
+        ]
+        if self.fingertip_bridge_margin > 0.0:
+            min_tip = tips[0][2]
+            for t in tips[1:]:
+                min_tip = jnp.minimum(min_tip, t[2])
+            failures["hitting_ground"] = (
+                (obs_d["hand_pose"][2] < self.handbase_threshold)
+                | (min_tip < self.fingertip_threshold
+                   - self.fingertip_bridge_margin * bridge)
+            )
 
         r = {}
         dmin = d_f2o[0]
@@ -427,6 +484,19 @@ class BoxStackingTask(DexTask):
         r["release"] = at_pose.astype(f32) * (
             1.0 - jnp.minimum(n_on, 3.0) / 3.0
         )
+        # under-box clearance penalty twin
+        half = self.box_size / 2.0 * self.under_box_footprint_factor
+        near_ground = (box_pos[2] < self.under_box_ground_z).astype(f32)
+        under = ctx.zero
+        for t in tips:
+            in_fp = (
+                (jnp.abs(t[0] - box_pos[0]) < half)
+                & (jnp.abs(t[1] - box_pos[1]) < half)
+            ).astype(f32)
+            under = under + in_fp * jnp.clip(
+                self.under_box_margin - t[2], 0.0, None
+            )
+        r["under_box_penalty"] = under * near_ground
 
         ts_new = {
             "platform_spawn_xy": spawn_xy,

@@ -52,13 +52,24 @@ def make_physics(box_pos=None, box_vel=None, plat_pos=None):
     )
 
 
-def make_obs(pad_positions=None, contact_binary=None):
+def make_obs(pad_positions=None, contact_binary=None, tip_positions=None,
+             hand_pos=None):
     pads = np.zeros((N, 5, 7), np.float32)
     if pad_positions is not None:
         pads[:, :, :3] = pad_positions
     pads[:, :, 6] = 1.0
+    tips = np.full((N, 5, 7), 0.5, np.float32)   # tips far away by default
+    if tip_positions is not None:
+        tips[:, :, :3] = tip_positions
+    tips[:, :, 6] = 1.0
     return {
         "fingerpad_poses_world": jnp.asarray(pads.reshape(N, 35)),
+        "fingertip_poses_world": jnp.asarray(tips.reshape(N, 35)),
+        "hand_pose": jnp.concatenate([
+            jnp.asarray(hand_pos, jnp.float32) if hand_pos is not None
+            else jnp.full((N, 3), 0.3, jnp.float32),
+            jnp.zeros((N, 3)), jnp.ones((N, 1)),
+        ], axis=1),
         "contact_binary": (
             jnp.asarray(contact_binary) if contact_binary is not None
             else jnp.zeros((N, 5))
@@ -384,3 +395,40 @@ class TestBridgeAnneal:
                           difficulty=jnp.asarray(1.0, jnp.float32))
         np.testing.assert_allclose(
             np.asarray(r1.task_states["spawn_difficulty"]), 1.0)
+
+    def test_bridged_hitting_ground_and_under_box_penalty(self):
+        t = BoxStackingTask({
+            "box": {"size": S1, "initial_position": {"z": 0.027}},
+            "platform": {"size": S2},
+            "curriculum": {"enabled": True, "release_anneal_end": 0.75},
+            "termination": {"height_safety": {
+                "handbase_threshold": 0.0, "fingertip_threshold": 0.0,
+                "fingertip_bridge_margin": 0.006,
+            }},
+        })
+        ts = t.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        phys = make_physics(box_pos=np.tile([0.0, 0.0, 0.027], (N, 1)))
+        # one tip 3 mm below ground, under the cube footprint
+        tips = np.full((N, 5, 3), 0.5, np.float32)
+        tips[:, 1] = [0.01, 0.0, -0.003]
+
+        def step_at(d):
+            ts2 = dict(ts)
+            ts2["spawn_difficulty"] = jnp.full(N, d, jnp.float32)
+            return t.compute_step(
+                make_obs(tip_positions=tips), ts2, phys, None,
+                jnp.zeros((N, 26, 3)), jnp.zeros((N, 3)), DT,
+                box2_contact_force=jnp.zeros((N, 3)),
+            )
+
+        # at difficulty 0 the bridged margin (-6 mm) tolerates the graze
+        s0 = step_at(0.0)
+        assert not bool(s0.failure_criteria["hitting_ground"][0])
+        # the scoop still pays the under-box penalty (margin 1 cm + 3 mm)
+        np.testing.assert_allclose(
+            np.asarray(s0.reward_terms["under_box_penalty"]), 0.013,
+            atol=1e-6,
+        )
+        # at difficulty 1.0 the criterion is strict reference semantics
+        assert bool(step_at(1.0).failure_criteria["hitting_ground"][0])

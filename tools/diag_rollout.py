@@ -13,7 +13,11 @@ drift / box distance percentiles at failure, and at-pose statistics.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# default CPU (never contend with a live TPU job by accident);
+# DEXHAND_DIAG_DEVICE=tpu runs on the chip when it is free
+_DEV = os.environ.get("DEXHAND_DIAG_DEVICE", "cpu")
+if _DEV == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -22,7 +26,8 @@ sys.path.insert(0, REPO)
 def main() -> int:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if _DEV == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
