@@ -157,6 +157,21 @@ class BoxStackingTask(DexTask):
         self.fingertip_bridge_margin = float(
             hsafe.get("fingertip_bridge_margin", 0.0)
         )
+        # pocket-conditioned graze margin (round-3; the global bridge
+        # margin above measured NEGATIVE — relaxing everywhere removed the
+        # selection pressure that drives early clean-grasp learning, and
+        # ground-scraping carry survived). This variant relaxes the
+        # fingertip limit ONLY while the cube is within pocket_radius of
+        # the stack point: early grasping keeps the strict rule (grazes
+        # die fast, selection favors clean side grasps) while the
+        # descent-to-place no longer executes the env for a graze at the
+        # pocket — the measured blocker (74% of failures with the cube
+        # within 1.7 cm p50 of the stack point, stacked_hold raw pinned
+        # at 0.0: the place/release/settle sequence was never survived).
+        # Rides the same bridge anneal as every other tolerance: strict
+        # at d >= release_anneal_end and at eval. 0 disables.
+        self.pocket_margin = float(hsafe.get("pocket_margin", 0.0))
+        self.pocket_radius = float(hsafe.get("pocket_radius", 0.05))
 
         # under-box clearance shaping (same rationale and formula as
         # BlindGrasping's round-3 term): penalize tips inside the cube's
@@ -289,14 +304,17 @@ class BoxStackingTask(DexTask):
             "platform_moved": plat_moved > self.platform_move_tolerance * relax,
         }
         tips3 = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)[:, :, :3]
-        if self.fingertip_bridge_margin > 0.0:
-            # bridged hitting_ground override (see __init__); takes
+        if self.fingertip_bridge_margin > 0.0 or self.pocket_margin > 0.0:
+            # bridged/pocket hitting_ground override (see __init__); takes
             # precedence over the builtin in both step paths
+            margin = self.fingertip_bridge_margin * bridge + jnp.where(
+                transport_dist < self.pocket_radius,
+                self.pocket_margin * bridge, 0.0,
+            )
             failures["hitting_ground"] = (
                 (obs_dict["hand_pose"][:, 2] < self.handbase_threshold)
                 | (tips3[:, :, 2].min(axis=1)
-                   < self.fingertip_threshold
-                   - self.fingertip_bridge_margin * bridge)
+                   < self.fingertip_threshold - margin)
             )
 
         # ---------- rewards ----------
@@ -456,14 +474,18 @@ class BoxStackingTask(DexTask):
         tips = [
             obs_d["fingertip_poses_world"][7 * i:7 * i + 3] for i in range(5)
         ]
-        if self.fingertip_bridge_margin > 0.0:
+        if self.fingertip_bridge_margin > 0.0 or self.pocket_margin > 0.0:
             min_tip = tips[0][2]
             for t in tips[1:]:
                 min_tip = jnp.minimum(min_tip, t[2])
+            # bridged/pocket override, lane twin of compute_step above
+            margin = self.fingertip_bridge_margin * bridge + jnp.where(
+                transport_dist < self.pocket_radius,
+                self.pocket_margin * bridge, 0.0,
+            )
             failures["hitting_ground"] = (
                 (obs_d["hand_pose"][2] < self.handbase_threshold)
-                | (min_tip < self.fingertip_threshold
-                   - self.fingertip_bridge_margin * bridge)
+                | (min_tip < self.fingertip_threshold - margin)
             )
 
         r = {}

@@ -28,13 +28,16 @@ def main() -> int:
     from dexrobot_isaac_tpu.utils.config import load_config
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    shuffle = sys.argv[2] if len(sys.argv) > 2 else "permutation"
+    shuffles = (sys.argv[2] if len(sys.argv) > 2 else "permutation").split(",")
+    # argv[4]: fused backend override — "hybrid" runs the same lane math
+    # without the Mosaic compile, making the tool usable on CPU
+    backend = sys.argv[4] if len(sys.argv) > 4 else None
     cfg = load_config(["task=BlindGrasping", f"numEnvs={n}"])
     env = make_env(cfg, seed=0)
-    fused = env.make_fused()
+    fused = env.make_fused(**({"backend": backend} if backend else {}))
     pcfg = PPOConfig(
         num_actions=env.num_actions, num_obs=env.num_obs,
-        num_states=env.num_states, num_envs=n, shuffle=shuffle,
+        num_states=env.num_states, num_envs=n, shuffle=shuffles[0],
     )
     learner = PPOLearner(pcfg, fused.step_fn, seed=0)
     learner.comp_names = fused.comp_names
@@ -92,18 +95,36 @@ def main() -> int:
     chunks = [int(c) for c in (
         sys.argv[3] if len(sys.argv) > 3 else "8"
     ).split(",")]
-    for chunk in chunks:
-        cstep = learner.make_chunked_train_step(chunk)
-        ppo2, fs3, obs3, m, e = cstep(ppo, fs, obs)
-        jax.block_until_ready(m["kl"])
-        best = 1e9
-        for _ in range(3):
-            t0 = time.time()
-            ppo2, fs3, obs3, m, e = cstep(ppo2, fs3, obs3)
+    for shuffle in shuffles:
+        lrn = learner
+        if shuffle != shuffles[0]:
+            lrn = PPOLearner(
+                PPOConfig(
+                    num_actions=env.num_actions, num_obs=env.num_obs,
+                    num_states=env.num_states, num_envs=n, shuffle=shuffle,
+                ),
+                fused.step_fn, seed=0,
+            )
+            lrn.comp_names = fused.comp_names
+            lrn.init_state()  # builds the optimizer (_tx); PPOState reused
+        for chunk in chunks:
+            cstep = lrn.make_chunked_train_step(chunk)
+            # the chunked step donates its inputs: hand it copies so the
+            # pristine (ppo, fs, obs) survive for the next shuffle/chunk
+            ppo_c, fs_c, obs_c = jax.tree.map(
+                lambda x: x.copy() if isinstance(x, jax.Array) else x,
+                (ppo, fs, obs),
+            )
+            ppo2, fs3, obs3, m, e = cstep(ppo_c, fs_c, obs_c)
             jax.block_until_ready(m["kl"])
-            best = min(best, time.time() - t0)
-        print(f"chunked x{chunk} iteration: {n*T*chunk/best:12,.0f} "
-              f"env-steps/s ({best*1e3/chunk:7.2f} ms/iter)")
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                ppo2, fs3, obs3, m, e = cstep(ppo2, fs3, obs3)
+                jax.block_until_ready(m["kl"])
+                best = min(best, time.time() - t0)
+            print(f"chunked x{chunk} [{shuffle}]: {n*T*chunk/best:12,.0f} "
+                  f"env-steps/s ({best*1e3/chunk:7.2f} ms/iter)")
     return 0
 
 
