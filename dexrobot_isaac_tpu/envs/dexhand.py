@@ -406,6 +406,18 @@ class DexHandEnv:
             "reward_components": components,
             **term_info,
         }
+        if "spawn_difficulty" in state.task_states:
+            # eval-matched curriculum gating (train.py promote_strict):
+            # success among episodes spawned EXACTLY at the controller's
+            # difficulty. Uses the PRE-step task state — spawn_difficulty
+            # is constant through an episode and re-sampled only at reset,
+            # so this is the ending episode's spawn value.
+            strict = (
+                state.task_states["spawn_difficulty"]
+                >= state.difficulty - 1e-4
+            )
+            extras["success_strict"] = term_info["success"] & strict
+            extras["done_strict"] = done & strict
         if self.axis_name is not None:
             # scalar diagnostics must be replicated across shards
             extras = jax.tree.map(

@@ -1166,6 +1166,14 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             "timeout": tout,
             "reward_components_packed": cmp_T.T,
         }
+        if "ts.spawn_difficulty" in L.offs_f:
+            # eval-matched curriculum gating twin (envs/dexhand.py
+            # step_fn): the PRE-step packed row is the ending episode's
+            # spawn difficulty (constant through an episode)
+            off, _k = L.offs_f["ts.spawn_difficulty"]
+            strict = state.rows_f[off] >= state.difficulty - 1e-4
+            extras["success_strict"] = succ & strict
+            extras["done_strict"] = done & strict
         return new_state, obs, rew, done, extras
 
     def reset(key: jax.Array):

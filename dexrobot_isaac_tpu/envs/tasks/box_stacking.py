@@ -142,6 +142,9 @@ class BoxStackingTask(DexTask):
         # difficulty 1.0, so full-difficulty training and EVAL always use
         # the exact target distribution. 0 disables.
         self.difficulty_band = float(cur.get("difficulty_band", 0.0))
+        # fraction of banded spawns pinned exactly AT the controller's
+        # difficulty (strict top-of-band; the promote_strict gate's sample)
+        self.band_top_fraction = float(cur.get("band_top_fraction", 0.25))
 
         # bridge-annealed hitting_ground (round-3; measured attribution:
         # 74% of failures at difficulty 0.45 were hitting_ground — tips
@@ -172,6 +175,15 @@ class BoxStackingTask(DexTask):
         # at d >= release_anneal_end and at eval. 0 disables.
         self.pocket_margin = float(hsafe.get("pocket_margin", 0.0))
         self.pocket_radius = float(hsafe.get("pocket_radius", 0.05))
+        if self.pocket_margin > 0.0 and self.release_anneal_end <= 0.0:
+            import logging
+
+            logging.getLogger("dexhand_tpu").warning(
+                "BoxStacking: pocket_margin=%g has no effect because "
+                "curriculum.release_anneal_end is 0 (the pocket relaxation "
+                "rides the bridge anneal, which is identically zero)",
+                self.pocket_margin,
+            )
 
         # under-box clearance shaping (same rationale and formula as
         # BlindGrasping's round-3 term): penalize tips inside the cube's
@@ -181,6 +193,10 @@ class BoxStackingTask(DexTask):
         self.under_box_margin = float(cs.get("under_margin", 0.01))
         self.under_box_footprint_factor = float(cs.get("footprint_factor", 1.4))
         self.under_box_ground_z = float(cs.get("box_near_ground_z", 0.10))
+        # free margin before the dense platform-drift penalty engages
+        # (round-4 lever; see compute_step). Legit placement jostles the
+        # platform ~millimeters; the penalty only sees real shoves.
+        self.drift_free_margin = float(cs.get("drift_free_margin", 0.01))
 
     # ------------------------------------------------------------------
     def configure_scene(self, params: SimParams) -> SimParams:
@@ -306,15 +322,23 @@ class BoxStackingTask(DexTask):
         tips3 = obs_dict["fingertip_poses_world"].reshape(n, 5, 7)[:, :, :3]
         if self.fingertip_bridge_margin > 0.0 or self.pocket_margin > 0.0:
             # bridged/pocket hitting_ground override (see __init__); takes
-            # precedence over the builtin in both step paths
-            margin = self.fingertip_bridge_margin * bridge + jnp.where(
-                transport_dist < self.pocket_radius,
-                self.pocket_margin * bridge, 0.0,
+            # precedence over the builtin in both step paths. The pocket
+            # relaxation is PER-TIP: a tip survives the relaxed limit only
+            # while both the cube and THAT tip are within pocket_radius of
+            # the stack point — a tip grazing the ground away from the
+            # platform keeps the strict rule even mid-place.
+            tip_pocket = (transport_dist < self.pocket_radius)[:, None] & (
+                jnp.linalg.norm(
+                    tips3[:, :, :2] - target[:, None, :2], axis=-1
+                ) < self.pocket_radius
             )
+            margin = self.fingertip_bridge_margin * bridge[:, None] + \
+                jnp.where(tip_pocket, self.pocket_margin * bridge[:, None],
+                          0.0)
             failures["hitting_ground"] = (
                 (obs_dict["hand_pose"][:, 2] < self.handbase_threshold)
-                | (tips3[:, :, 2].min(axis=1)
-                   < self.fingertip_threshold - margin)
+                | (tips3[:, :, 2]
+                   < self.fingertip_threshold - margin).any(axis=1)
             )
 
         # ---------- rewards ----------
@@ -361,6 +385,16 @@ class BoxStackingTask(DexTask):
         near_ground = (box_pos[:, 2] < self.under_box_ground_z).astype(f32)
         r["under_box_penalty"] = (
             (in_fp.astype(f32) * low).sum(axis=1) * near_ground
+        )
+        # dense platform-drift penalty (round-4 lever): the round-4 eval of
+        # the 40k round-3 checkpoint failed 94.1% by platform_moved at the
+        # strict 5 cm limit — the policy learned to shove the platform
+        # under the bridge-relaxed training tolerance. Penalize drift
+        # beyond a free margin EVERY step so "keep the platform still" has
+        # a gradient long before the hard termination, at every
+        # difficulty. Weight via reward_weights.platform_drift_penalty.
+        r["platform_drift_penalty"] = jnp.maximum(
+            plat_moved - self.drift_free_margin, 0.0
         )
         ts["prev_transport_dist"] = transport_dist
 
@@ -475,17 +509,25 @@ class BoxStackingTask(DexTask):
             obs_d["fingertip_poses_world"][7 * i:7 * i + 3] for i in range(5)
         ]
         if self.fingertip_bridge_margin > 0.0 or self.pocket_margin > 0.0:
-            min_tip = tips[0][2]
-            for t in tips[1:]:
-                min_tip = jnp.minimum(min_tip, t[2])
-            # bridged/pocket override, lane twin of compute_step above
-            margin = self.fingertip_bridge_margin * bridge + jnp.where(
-                transport_dist < self.pocket_radius,
-                self.pocket_margin * bridge, 0.0,
-            )
+            # bridged/pocket override, lane twin of compute_step above:
+            # the pocket relaxation is per-tip (cube AND tip in pocket)
+            cube_in_pocket = transport_dist < self.pocket_radius
+            tip_violation = None
+            for t in tips:
+                tip_xy = jnp.sqrt(
+                    (t[0] - target[0]) ** 2 + (t[1] - target[1]) ** 2
+                )
+                m = self.fingertip_bridge_margin * bridge + jnp.where(
+                    cube_in_pocket & (tip_xy < self.pocket_radius),
+                    self.pocket_margin * bridge, 0.0,
+                )
+                v = t[2] < self.fingertip_threshold - m
+                tip_violation = v if tip_violation is None else (
+                    tip_violation | v
+                )
             failures["hitting_ground"] = (
                 (obs_d["hand_pose"][2] < self.handbase_threshold)
-                | (min_tip < self.fingertip_threshold - margin)
+                | tip_violation
             )
 
         r = {}
@@ -519,6 +561,10 @@ class BoxStackingTask(DexTask):
                 self.under_box_margin - t[2], 0.0, None
             )
         r["under_box_penalty"] = under * near_ground
+        # dense platform-drift penalty, lane twin (compute_step above)
+        r["platform_drift_penalty"] = jnp.maximum(
+            plat_moved - self.drift_free_margin, 0.0
+        )
 
         ts_new = {
             "platform_spawn_xy": spawn_xy,
@@ -541,21 +587,29 @@ class BoxStackingTask(DexTask):
         n = num_envs
         (
             k_box, k_yaw, k_dir, k_dist, k_pyaw, k_trans, k_rot, k_fing,
-            k_rev, k_rjit, k_rfing, k_band,
-        ) = jax.random.split(key, 12)
+            k_rev, k_rjit, k_rfing, k_band, k_btop,
+        ) = jax.random.split(key, 13)
         f32 = jnp.float32
 
         # per-env difficulty band (see __init__); collapses at difficulty
-        # 1.0 so eval and full-difficulty training stay exact
+        # 1.0 so eval and full-difficulty training stay exact. A
+        # band_top_fraction of envs spawn EXACTLY at the controller's
+        # difficulty so the strict top-of-band setting has real
+        # probability mass — these are the episodes the eval-matched
+        # promotion gate (train.py promote_strict) counts.
         if (
             self.curriculum_enabled and difficulty is not None
             and self.difficulty_band > 0.0
         ):
             d0 = jnp.asarray(difficulty, f32)
             band = jnp.where(d0 < 1.0, self.difficulty_band, 0.0)
-            difficulty = jnp.clip(
+            banded = jnp.clip(
                 d0 - jax.random.uniform(k_band, (n,)) * band, 0.0, 1.0
             )
+            at_top = (
+                jax.random.uniform(k_btop, (n,)) < self.band_top_fraction
+            )
+            difficulty = jnp.where(at_top, d0, banded)
 
         scale = curriculum_scale(
             difficulty, self.curriculum_min_fraction, self.curriculum_enabled

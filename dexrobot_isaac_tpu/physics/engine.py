@@ -464,9 +464,8 @@ class HandPhysics:
         s_lin = jnp.where(prism, a, jnp.cross(o, a))
         return jnp.concatenate([s_ang, s_lin], axis=-1)
 
-    def mass_matrix(self, kin: KinematicsOut, S: jnp.ndarray) -> jnp.ndarray:
-        """Composite-rigid-body mass matrix (26, 26) in world coordinates."""
-        m = self.model
+    def _spatial_inertia_o(self, kin: KinematicsOut) -> jnp.ndarray:
+        """Per-body spatial inertia (B, 6, 6) about the world origin."""
         R = qm.quat_to_rotmat(kin.body_quat)            # (B,3,3)
         com_w = kin.body_pos + jnp.einsum("bij,bj->bi", R, self._com)
         i_c = jnp.einsum("bij,bjk,blk->bil", R, self._inertia, R)
@@ -476,13 +475,18 @@ class HandPhysics:
         top_r = mass * cx
         bot_l = -mass * cx
         bot_r = mass * jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
-        i_o = jnp.concatenate(
+        return jnp.concatenate(
             [
                 jnp.concatenate([top_l, top_r], axis=-1),
                 jnp.concatenate([bot_l, bot_r], axis=-1),
             ],
             axis=-2,
-        )                                                # (B,6,6) about world origin
+        )                                                # (B,6,6)
+
+    def mass_matrix(self, kin: KinematicsOut, S: jnp.ndarray) -> jnp.ndarray:
+        """Composite-rigid-body mass matrix (26, 26) in world coordinates."""
+        m = self.model
+        i_o = self._spatial_inertia_o(kin)
         # composite subtree inertias (reverse topological accumulation)
         ic = [i_o[i] for i in range(m.num_bodies)]
         for i in reversed(range(m.num_bodies)):
@@ -865,6 +869,32 @@ class HandPhysics:
         subtree_w = self._anc_body @ body_w                        # (B,6)
         Q = jnp.sum(S * subtree_w, axis=-1)                        # (26,)
 
+        if p.coriolis:
+            # RNEA velocity-product bias (Featherstone, world-origin
+            # Plücker coordinates): per-body bias wrench
+            # p_bias = v x* (I_o v) with v = (omega, v_at_origin) and I_o
+            # the body spatial inertia about the world origin (the same
+            # per-body blocks CRBA composites). Generalized bias
+            # C(q,qd) qd = S^T (subtree sum of p_bias); enters the RHS
+            # with a minus sign (M qdd + C qd = tau). The reference's
+            # PhysX solver includes these terms; default-off here
+            # (SimParams.coriolis) with the omission measured by
+            # tools/measure_coriolis.py.
+            i_o = self._spatial_inertia_o(kin)                 # (B,6,6)
+            omega = kin.body_angvel
+            v_o = kin.body_linvel - jnp.cross(omega, kin.body_pos)
+            v6 = jnp.concatenate([omega, v_o], axis=-1)        # (B,6)
+            h = jnp.einsum("bij,bj->bi", i_o, v6)              # (B,6)
+            p_bias = jnp.concatenate(
+                [
+                    jnp.cross(omega, h[:, :3])
+                    + jnp.cross(v_o, h[:, 3:]),
+                    jnp.cross(omega, h[:, 3:]),
+                ],
+                axis=-1,
+            )
+            Q = Q - jnp.sum(S * (self._anc_body @ p_bias), axis=-1)
+
         kp = self._kp * dr.kp_scale
         kd = self._kd * dr.kd_scale
         M = self.mass_matrix(kin, S) + jnp.diag(self._armature)
@@ -992,6 +1022,10 @@ class HandPhysics:
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if self.params.coriolis:
+            # velocity-product terms are jnp-engine-only (SimParams.coriolis
+            # docstring): the fused kernels don't carry the bias wrench
+            use_pallas = False
 
         if use_pallas:
             from dexrobot_isaac_tpu.physics.pallas_step import build_control_step

@@ -129,6 +129,15 @@ class SimParams:
     box2_friction: float = 1.0
     hand_friction: float = 1.0
     ground_friction: float = 1.0
+    # velocity-product (Coriolis/centrifugal) dynamics terms. The
+    # reference's PhysX articulated solver includes these
+    # (/root/reference/docs/reference-physics-implementation.md:27-29);
+    # this engine omits them by default — measured negligible at the
+    # commanded velocity limits (tools/measure_coriolis.py; PHYSICS
+    # paragraph in BASELINE.md). Enable to add the RNEA bias wrench
+    # v x* (I v) on the jnp engine path (the fused Pallas kernels
+    # decline this config and fall back to the XLA path).
+    coriolis: bool = False
 
 
 def make_initial_physics_state(

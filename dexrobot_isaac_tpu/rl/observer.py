@@ -236,6 +236,10 @@ class DeviceBreakdown:
             "ep_count": jnp.zeros((3,), dtype=jnp.int32),
             "step_sum": jnp.zeros((3,), dtype=jnp.float32),
             "comp_sum": jnp.zeros((3, c), dtype=jnp.float32),
+            # strict-spawn episode totals [successes, dones] — fed by envs
+            # whose tasks report spawn_difficulty (eval-matched curriculum
+            # gating, train.py promote_strict); stays zero otherwise
+            "ep_count_strict": jnp.zeros((2,), dtype=jnp.int32),
         }
 
         def update(st, extras):
@@ -273,12 +277,19 @@ class DeviceBreakdown:
                     (comp_t, masks),
                 )
             )
+            ep_strict = st["ep_count_strict"]
+            if "success_strict" in extras and "done_strict" in extras:
+                ep_strict = ep_strict + jnp.stack([
+                    extras["success_strict"].sum().astype(jnp.int32),
+                    extras["done_strict"].sum().astype(jnp.int32),
+                ])
             return {
                 "comp_acc": comp_acc,
                 "step_acc": step_acc,
                 "ep_count": ep_count,
                 "step_sum": step_sum,
                 "comp_sum": comp_sum,
+                "ep_count_strict": ep_strict,
             }
 
         return cls(
@@ -301,6 +312,7 @@ class DeviceBreakdown:
             "ep_count": self.state["ep_count"],
             "step_sum": self.state["step_sum"],
             "comp_sum": self.state["comp_sum"],
+            "ep_count_strict": self.state["ep_count_strict"],
         }
         leaf = totals["ep_count"]
         if hasattr(leaf, "sharding") and not leaf.is_fully_addressable:
@@ -322,5 +334,6 @@ class DeviceBreakdown:
             "ep_count": jnp.zeros((3,), dtype=jnp.int32),
             "step_sum": jnp.zeros((3,), dtype=jnp.float32),
             "comp_sum": jnp.zeros_like(self.state["comp_sum"]),
+            "ep_count_strict": jnp.zeros((2,), dtype=jnp.int32),
         }
         return host

@@ -324,7 +324,9 @@ class PPOLearner:
         else:  # synthetic envs in tests may not provide components
             packed = None
         slim = {
-            k: extras[k] for k in ("success", "failure", "timeout")
+            k: extras[k]
+            for k in ("success", "failure", "timeout",
+                      "success_strict", "done_strict")
             if k in extras
         }
         if packed is not None:

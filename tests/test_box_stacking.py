@@ -301,6 +301,10 @@ class TestEnvIntegration:
         # both free bodies are live in the state
         assert env.state.physics.box2_pos is not None
         assert np.isfinite(np.asarray(env.state.physics.box2_pos)).all()
+        # strict-spawn extras (round-4 eval-matched gating): the task
+        # reports spawn_difficulty, so both step paths emit the flags
+        assert "success_strict" in extras and "done_strict" in extras
+        assert extras["success_strict"].shape == (2,)
 
 
 class TestBridgeAnneal:
@@ -432,3 +436,101 @@ class TestBridgeAnneal:
         )
         # at difficulty 1.0 the criterion is strict reference semantics
         assert bool(step_at(1.0).failure_criteria["hitting_ground"][0])
+
+    def test_pocket_margin_is_per_tip_and_strict_at_full_difficulty(self):
+        t = BoxStackingTask({
+            "box": {"size": S1, "initial_position": {"z": 0.027}},
+            "platform": {"size": S2},
+            "curriculum": {"enabled": True, "release_anneal_end": 0.75},
+            "termination": {"height_safety": {
+                "handbase_threshold": 0.0, "fingertip_threshold": 0.0,
+                "pocket_margin": 0.008, "pocket_radius": 0.05,
+            }},
+        })
+        ts = t.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        # cube at the stack point (inside the pocket)
+        phys = stacked_physics()
+
+        def step_at(d, tips):
+            ts2 = dict(ts)
+            ts2["spawn_difficulty"] = jnp.full(N, d, jnp.float32)
+            return t.compute_step(
+                make_obs(tip_positions=tips), ts2, phys, None,
+                jnp.zeros((N, 26, 3)), jnp.zeros((N, 3)), DT,
+                box2_contact_force=jnp.zeros((N, 3)),
+            )
+
+        # tip grazing 3 mm below ground AT the stack point: relaxed at d=0
+        near = np.full((N, 5, 3), 0.5, np.float32)
+        near[:, 1] = [0.21, 0.0, -0.003]
+        assert not bool(
+            step_at(0.0, near).failure_criteria["hitting_ground"][0])
+        # ...but strict at difficulty 1.0 (eval distribution)
+        assert bool(
+            step_at(1.0, near).failure_criteria["hitting_ground"][0])
+        # same graze FAR from the platform while the cube sits in the
+        # pocket: the per-tip gate keeps the strict rule -> failure at d=0
+        far = np.full((N, 5, 3), 0.5, np.float32)
+        far[:, 1] = [0.0, 0.0, -0.003]
+        assert bool(
+            step_at(0.0, far).failure_criteria["hitting_ground"][0])
+        # cube NOT in the pocket: the near-platform graze is strict too
+        phys_away = make_physics(
+            box_pos=np.tile([0.0, 0.0, 0.027], (N, 1)))
+
+        def step_away(tips):
+            ts2 = dict(ts)
+            ts2["spawn_difficulty"] = jnp.zeros(N, jnp.float32)
+            return t.compute_step(
+                make_obs(tip_positions=tips), ts2, phys_away, None,
+                jnp.zeros((N, 26, 3)), jnp.zeros((N, 3)), DT,
+                box2_contact_force=jnp.zeros((N, 3)),
+            )
+
+        assert bool(step_away(near).failure_criteria["hitting_ground"][0])
+
+
+class TestRound4Levers:
+    """Dense platform-drift penalty + strict top-of-band spawns."""
+
+    def _task(self, **cur):
+        return BoxStackingTask({
+            "box": {"size": S1, "initial_position": {"z": 0.027}},
+            "platform": {"size": S2},
+            "curriculum": {"enabled": True, **cur},
+        })
+
+    def test_platform_drift_penalty_values(self):
+        t = self._task()
+        ts = t.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        # platform drifted 3 cm: penalty = drift - 1 cm free margin
+        phys = make_physics(plat_pos=np.tile([0.23, 0.0, S2 / 2], (N, 1)))
+        step = run_step(t, make_obs(), ts, phys)
+        np.testing.assert_allclose(
+            np.asarray(step.reward_terms["platform_drift_penalty"]), 0.02,
+            atol=1e-6,
+        )
+        # within the free margin: zero
+        phys2 = make_physics(plat_pos=np.tile([0.205, 0.0, S2 / 2], (N, 1)))
+        step2 = run_step(t, make_obs(), ts, phys2)
+        np.testing.assert_allclose(
+            np.asarray(step2.reward_terms["platform_drift_penalty"]), 0.0,
+            atol=1e-6,
+        )
+
+    def test_band_top_fraction_pins_spawns(self):
+        t = self._task(
+            release_anneal_end=0.75, difficulty_band=0.3,
+            band_top_fraction=0.25,
+        )
+        zero = jnp.zeros(26, dtype=jnp.float32)
+        r = t.reset_task(jax.random.key(0), 4096, zero,
+                         difficulty=jnp.asarray(0.6, jnp.float32))
+        sd = np.asarray(r.task_states["spawn_difficulty"])
+        at_top = (sd >= 0.6 - 1e-6).mean()
+        assert 0.2 < at_top < 0.3, at_top          # ~25% pinned at d
+        below = sd[sd < 0.6 - 1e-6]
+        assert below.min() >= 0.3 - 1e-6           # band lower edge
+        assert below.std() > 0.05                  # rest spread over band

@@ -331,3 +331,75 @@ class TestSelfCollision:
             gaps[sc] = self._ring_pinky_gap(phys, np.asarray(state.q[0]))
         assert gaps[False] < -0.008, f"expected deep overlap when off: {gaps}"
         assert gaps[True] > -0.004, f"contact should resolve overlap: {gaps}"
+
+
+class TestCoriolisTerms:
+    """Optional RNEA velocity-product terms (SimParams.coriolis; round-4).
+
+    The reference's PhysX articulated solver includes these
+    (docs/reference-physics-implementation.md:27-29); our engine omits
+    them by default with the omission MEASURED (tools/measure_coriolis.py).
+    These tests pin the term's basic physics: exactly zero at zero
+    velocity, small/finite/stable at speed."""
+
+    def _engines(self):
+        import dataclasses
+
+        p = SimParams(dt=0.005, substeps=4, has_box=False)
+        off = HandPhysics(params=p)
+        on = HandPhysics(
+            model=off.model, params=dataclasses.replace(p, coriolis=True)
+        )
+        return off, on
+
+    def test_zero_velocity_identical(self):
+        import dataclasses
+
+        # ONE substep from rest: qd = 0 -> v x* (I v) == 0 exactly, so the
+        # step is bitwise-identical (later substeps have qd != 0 and
+        # legitimately differ by the tiny bias)
+        p = SimParams(dt=0.005, substeps=1, has_box=False)
+        off = HandPhysics(params=p)
+        on = HandPhysics(
+            model=off.model, params=dataclasses.replace(p, coriolis=True)
+        )
+        state = jax.tree.map(lambda x: x[0], make_initial_physics_state(1))
+        tgt = jnp.zeros(NUM_DOFS)
+        s_off, _ = off.step_single(state, tgt, SPAWN[0])
+        s_on, _ = on.step_single(state, tgt, SPAWN[0])
+        np.testing.assert_array_equal(np.asarray(s_off.q), np.asarray(s_on.q))
+        np.testing.assert_array_equal(
+            np.asarray(s_off.qd), np.asarray(s_on.qd)
+        )
+
+    def test_fast_motion_small_finite_effect(self):
+        import dataclasses
+
+        off, on = self._engines()
+        state = jax.tree.map(lambda x: x[0], make_initial_physics_state(1))
+        # spin the wrist fast (2 rad/s) with fingers moving
+        qd0 = jnp.zeros(NUM_DOFS).at[3:6].set(2.0).at[6:].set(1.0)
+        state = dataclasses.replace(state, qd=qd0)
+        tgt = jnp.zeros(NUM_DOFS)
+        spawn_high = jnp.asarray([0.0, 0.0, 0.6], jnp.float32)
+        s_off, _ = off.step_single(state, tgt, spawn_high)
+        s_on, _ = on.step_single(state, tgt, spawn_high)
+        dqd = np.abs(np.asarray(s_on.qd - s_off.qd))
+        assert np.isfinite(np.asarray(s_on.qd)).all()
+        assert dqd.max() > 0.0           # the term does something...
+        assert dqd.max() < 0.05          # ...but stays a small correction
+
+    def test_pallas_path_declines_coriolis(self):
+        _, on = self._engines()
+        # the fused kernels never implement the bias: the control-step
+        # factory must fall back to the XLA path even when asked for
+        # pallas — executing on CPU proves no pallas_call was built
+        fn = on.make_control_step(2, use_pallas=True)
+        state = make_initial_physics_state(2)
+        from dexrobot_isaac_tpu.physics.types import DRSample
+
+        new_state, info, kin = fn(
+            state, jnp.zeros((2, NUM_DOFS)),
+            jnp.broadcast_to(SPAWN, (2, 3)), DRSample.nominal(2),
+        )
+        assert np.isfinite(np.asarray(new_state.q)).all()

@@ -8,7 +8,11 @@ Times, at BlindGrasping 8192 envs on the fused path:
 with best-of-N windows (the tunnel chip is load-shared; see BASELINE.md
 methodology note).
 
-Run: python tools/bench_train_anatomy.py [num_envs]
+Run: python tools/bench_train_anatomy.py [num_envs] [shuffles] [chunks] [backend]
+  num_envs  default 8192
+  shuffles  comma list of minibatch shuffles to sweep (default: permutation)
+  chunks    comma list of dispatch_chunk values (default: 8)
+  backend   step backend (default: fused)
 """
 
 import os
@@ -109,12 +113,13 @@ def main() -> int:
             lrn.init_state()  # builds the optimizer (_tx); PPOState reused
         for chunk in chunks:
             cstep = lrn.make_chunked_train_step(chunk)
-            # the chunked step donates its inputs: hand it copies so the
-            # pristine (ppo, fs, obs) survive for the next shuffle/chunk
-            ppo_c, fs_c, obs_c = jax.tree.map(
-                lambda x: x.copy() if isinstance(x, jax.Array) else x,
-                (ppo, fs, obs),
+            # the chunked step donates the learner state (donate_argnums=0):
+            # hand it a copy so the pristine ppo survives for the next
+            # shuffle/chunk combination (fs/obs are never donated)
+            ppo_c = jax.tree.map(
+                lambda x: x.copy() if isinstance(x, jax.Array) else x, ppo,
             )
+            fs_c, obs_c = fs, obs
             ppo2, fs3, obs3, m, e = cstep(ppo_c, fs_c, obs_c)
             jax.block_until_ready(m["kl"])
             best = 1e9

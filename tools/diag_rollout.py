@@ -61,13 +61,40 @@ def main() -> int:
 
     reason_counts: dict = {}
     done_total = 0
-    drift_at_fail = []
-    boxdist_at_fail = []
     min_stackdist = np.full(n, 1e9)
-    stack_key = None
+    # platform_moved anatomy: at-failure snapshots (the state handed INTO
+    # the failing step — within one control step of the failure condition;
+    # the returned state is already reset for done envs)
+    pm = {k: [] for k in (
+        "drift", "radial", "cube_plat_xy", "cube_z", "hand_plat_xy", "step",
+    )}
     for t in range(steps):
+        if task == "BoxStacking":
+            snap_plat = np.asarray(state.physics.box2_pos[:, :2])
+            snap_spawn = np.asarray(state.task_states["platform_spawn_xy"])
+            snap_box = np.asarray(state.physics.box_pos)
+            snap_hand = np.asarray(state.physics.q[:, :2]) \
+                + np.asarray(env._spawn_const)[None, :2]
+            snap_count = np.asarray(state.episode_step_count)
         actions = act_jit(ppo, obs)
         state, obs, rew, done, extras = step_jit(state, actions)
+        if task == "BoxStacking":
+            fk = np.asarray(extras.get(
+                "failure_reason_platform_moved", np.zeros(n))) > 0.5
+            sel = fk & np.asarray(done)
+            if sel.any():
+                v = snap_plat[sel] - snap_spawn[sel]
+                pm["drift"].extend(np.linalg.norm(v, axis=1))
+                sp = snap_spawn[sel]
+                spn = sp / np.maximum(
+                    np.linalg.norm(sp, axis=1, keepdims=True), 1e-9)
+                pm["radial"].extend((v * spn).sum(axis=1))
+                pm["cube_plat_xy"].extend(np.linalg.norm(
+                    snap_box[sel, :2] - snap_plat[sel], axis=1))
+                pm["cube_z"].extend(snap_box[sel, 2])
+                pm["hand_plat_xy"].extend(np.linalg.norm(
+                    snap_hand[sel] - snap_plat[sel], axis=1))
+                pm["step"].extend(snap_count[sel])
         # task-state probes (before auto-reset overwrites them is not
         # possible from outside; use extras + current state)
         if task == "BoxStacking":
@@ -117,6 +144,22 @@ def main() -> int:
             f"p50={np.percentile(min_stackdist, 50):.3f} "
             f"p90={np.percentile(min_stackdist, 90):.3f}"
         )
+        if pm["drift"]:
+            def pct(a):
+                a = np.asarray(a, np.float64)
+                return (f"p10={np.percentile(a, 10):.3f} "
+                        f"p50={np.percentile(a, 50):.3f} "
+                        f"p90={np.percentile(a, 90):.3f}")
+
+            print(f"\nplatform_moved anatomy ({len(pm['drift'])} failures, "
+                  "state one step before the fail):")
+            print(f"  platform drift |v| (m):      {pct(pm['drift'])}")
+            print("  radial drift (+away/-toward origin, m): "
+                  f"{pct(pm['radial'])}")
+            print(f"  cube-platform XY dist (m):   {pct(pm['cube_plat_xy'])}")
+            print(f"  cube height z (m):           {pct(pm['cube_z'])}")
+            print(f"  handbase-platform XY (m):    {pct(pm['hand_plat_xy'])}")
+            print(f"  episode step at failure:     {pct(pm['step'])}")
     return 0
 
 

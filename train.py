@@ -345,6 +345,14 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
     cur_inc = float(cur_cfg.get("increment", 0.15))
     cur_thresh = float(cur_cfg.get("promote_success_rate", 0.3))
     cur_min_episodes = int(cur_cfg.get("min_episodes", 500))
+    # eval-matched gating: promote on the success rate of episodes spawned
+    # EXACTLY at the current difficulty (the band's pinned top fraction)
+    # instead of the whole spawn band — the band's easier spawns otherwise
+    # inflate the windowed rate and promote settings the policy has not
+    # mastered at the distribution eval uses (the BlindGrasping
+    # threshold-margin lesson; requires the task to report
+    # spawn_difficulty, e.g. BoxStacking band_top_fraction > 0)
+    cur_strict = bool(cur_cfg.get("promote_strict", False))
     cur_succ = cur_done = 0
     # promotion cooldown: only count episodes SPAWNED at the current
     # difficulty. Without it, the thousands of in-flight episodes spawned
@@ -449,6 +457,12 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
                 ep_count = np.asarray(summary["ep_count"])
                 if it < cur_cooldown_until:
                     pass  # episodes still spawned at the previous difficulty
+                elif cur_strict:
+                    strict = np.asarray(
+                        summary.get("ep_count_strict", [0, 0])
+                    )
+                    cur_succ += int(strict[0])
+                    cur_done += int(strict[1])
                 else:
                     cur_succ += int(ep_count[0])
                     cur_done += int(ep_count.sum())
