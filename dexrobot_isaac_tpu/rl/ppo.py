@@ -103,7 +103,7 @@ class PPOConfig:
     # genuinely fresh minibatch composition every epoch (stride-k sampling
     # across the whole batch) at gather cost, with the permutation's
     # 131k-element radix sort eliminated.
-    shuffle: str = "permutation"   # permutation | affine | rotation
+    shuffle: str = "permutation"   # permutation | affine | perm_roll | rotation
     units: Tuple[int, ...] = (512, 256, 128)
     network_dtype: str = "float32"   # "bfloat16" puts the MLP on the MXU fast path
     reward_shaper_scale: float = 1.0
@@ -486,14 +486,26 @@ class PPOLearner:
         n_mb = max(1, cfg.batch_size // cfg.minibatch)
         local_mb = local_batch // n_mb
 
-        if cfg.shuffle == "rotation":
-            # ONE static-permutation gather per iteration de-structures the
+        if cfg.shuffle in ("rotation", "perm_roll"):
+            # ONE permutation gather per iteration de-structures the
             # (t, env)-ordered flat batch (a bare roll would otherwise make
             # every minibatch a single-timestep slice of all envs); the
             # per-epoch shuffle is then a cheap random roll. Replaces the
-            # rl_games-parity per-epoch 131k-element device sort, which
-            # measured ~30% of the whole train iteration on TPU.
-            sp = self._static_perm(local_batch)
+            # rl_games-parity per-epoch 131k-element sort + random gather,
+            # measured (round-4 tools/bench_update_anatomy.py) at
+            # ~4.6 ms/epoch of the update.
+            #   rotation:  STATIC permutation, never refreshed — measured
+            #              learning-NEGATIVE on BlindGrasping (round 2,
+            #              BASELINE.md): too little decorrelation.
+            #   perm_roll: FRESH random permutation each iteration (one
+            #              sort + gather), epochs vary by roll — epochs of
+            #              one iteration see rolled variants, successive
+            #              iterations are fully re-randomized.
+            if cfg.shuffle == "perm_roll":
+                perm_key, sp_key = jax.random.split(perm_key)
+                sp = jax.random.permutation(sp_key, local_batch)
+            else:
+                sp = self._static_perm(local_batch)
             flat = jax.tree.map(lambda x: x[sp], flat)
             adv_flat, ret_flat, val_flat = (
                 adv_flat[sp], ret_flat[sp], val_flat[sp]
@@ -503,10 +515,10 @@ class PPOLearner:
             params, opt_state, lr, kl_last = carry
             data = (flat.obs, flat.action, flat.log_prob, val_flat, adv_flat,
                     ret_flat, flat.mu, flat.sigma)
-            if cfg.shuffle == "rotation":
+            if cfg.shuffle in ("rotation", "perm_roll"):
                 # per-epoch random circular shift over the once-per-iteration
-                # statically permuted batch (see below): composition varies
-                # across epochs at roll cost, no sort, no per-epoch gather
+                # permuted batch (see below): composition varies across
+                # epochs at roll cost, no sort, no per-epoch gather
                 shift = jax.random.randint(ekey, (), 0, local_batch)
                 reindex = lambda x: jnp.roll(x, shift, axis=0)
             elif cfg.shuffle == "affine":

@@ -538,6 +538,29 @@ class TestAffineShuffle:
         early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
         assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
 
+    def test_learning_with_perm_roll_shuffle(self):
+        """perm_roll (fresh per-iteration permutation + per-epoch roll)
+        must learn the toy task. Unlike rotation's static permutation,
+        successive iterations are fully re-randomized."""
+        cfg = PPOConfig(
+            num_actions=NUM_ACT, num_obs=NUM_OBS, num_envs=NUM_ENVS,
+            horizon_length=8, minibatch_size=32, mini_epochs=2,
+            units=(32, 32), shuffle="perm_roll",
+        )
+        learner = PPOLearner(cfg, toy_env_step, seed=0)
+        st = learner.init_state()
+        key = jax.random.key(2)
+        env_state = (key, jax.random.normal(key, (NUM_ENVS, NUM_OBS)))
+        obs = env_state[1]
+        rewards = []
+        for _ in range(60):
+            st, env_state, obs, metrics, _ = learner.train_iteration(
+                st, env_state, obs
+            )
+            rewards.append(float(metrics["reward_mean"]))
+        early, late = np.mean(rewards[:5]), np.mean(rewards[-5:])
+        assert late > early + 0.3, f"no learning: early={early:.3f} late={late:.3f}"
+
 
 class TestPackedExtras:
     """The trainer's slimmed rollout extras pack the reward-component dict

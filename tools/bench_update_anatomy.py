@@ -67,6 +67,7 @@ def main() -> int:
     timed("mini_epochs=2", mini_epochs=2)
     timed("shuffle=affine", shuffle="affine")
     timed("shuffle=rotation", shuffle="rotation")
+    timed("shuffle=perm_roll", shuffle="perm_roll")
     timed("minibatch=2*num_envs", minibatch_size=2 * n)
     timed("minibatch=4*num_envs", minibatch_size=4 * n)
     timed("mini_epochs=1 + affine", mini_epochs=1, shuffle="affine")
