@@ -90,10 +90,18 @@ def main() -> int:
 
     probe_step = jax.jit(env.step_fn)
 
+    def sync(leaf):
+        # host-fetch one element as the window barrier: over the axon
+        # tunnel jax.block_until_ready has been observed returning BEFORE
+        # device completion (round 4: a 0.2 ms "PPO update" and an 8.1B
+        # env-steps/s artifact in the anatomy sweeps, both corrected by a
+        # fetch). A value fetch cannot resolve early.
+        return float(jnp.asarray(leaf).ravel()[0])
+
     # warmup: compile every program
     for r in runners.values():
         r[1] = r[0](r[1])
-        jax.block_until_ready(r[2](r[1]))
+        sync(r[2](r[1]))
 
     REPS = 5
     n_chunks = max(1, steps // CHUNK)
@@ -105,7 +113,7 @@ def main() -> int:
             t0 = time.perf_counter()
             for _ in range(n_chunks):
                 r[1] = r[0](r[1])
-            jax.block_until_ready(r[2](r[1]))
+            sync(r[2](r[1]))
             all_dt[name].append(time.perf_counter() - t0)
     best_dt = {name: min(dts) for name, dts in all_dt.items()}
     med_dt = {name: sorted(dts)[len(dts) // 2] for name, dts in all_dt.items()}

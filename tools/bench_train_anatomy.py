@@ -23,6 +23,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _sync(leaf):
+    """Host-fetch one element as the timing barrier: over the axon tunnel
+    jax.block_until_ready has been observed returning BEFORE device
+    completion (round 4: an 8.1B env-steps/s artifact in this very sweep,
+    corrected by a fetch). A value fetch cannot resolve early."""
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -51,12 +61,12 @@ def main() -> int:
 
     def best_of(fn, args, reps=5):
         out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        _sync(jax.tree.leaves(out)[0])
         best = 1e9
         for _ in range(reps):
             t0 = time.time()
             out = fn(*args)
-            jax.block_until_ready(jax.tree.leaves(out)[0])
+            _sync(jax.tree.leaves(out)[0])
             best = min(best, time.time() - t0)
         return best, out
 
@@ -121,12 +131,12 @@ def main() -> int:
             )
             fs_c, obs_c = fs, obs
             ppo2, fs3, obs3, m, e = cstep(ppo_c, fs_c, obs_c)
-            jax.block_until_ready(m["kl"])
+            _sync(m["kl"])
             best = 1e9
             for _ in range(3):
                 t0 = time.time()
                 ppo2, fs3, obs3, m, e = cstep(ppo2, fs3, obs3)
-                jax.block_until_ready(m["kl"])
+                _sync(m["kl"])
                 best = min(best, time.time() - t0)
             print(f"chunked x{chunk} [{shuffle}]: {n*T*chunk/best:12,.0f} "
                   f"env-steps/s ({best*1e3/chunk:7.2f} ms/iter)")
