@@ -661,3 +661,59 @@ class TestPackedExtras:
             3, NUM_ENVS, 2,
         )
         assert "reward_components" not in roll_extras
+
+
+class TestStrictEpisodeCounting:
+    """ep_count_strict: the device reducer's strict-spawn totals feeding
+    the eval-matched promotion gate (train.py promote_strict)."""
+
+    def test_strict_counts_accumulate_and_reset(self):
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        rng = np.random.default_rng(3)
+        T, N = 4, 16
+        kind = rng.integers(0, 6, size=(T, N))
+        strict = rng.integers(0, 2, size=(T, N)).astype(bool)
+        extras = {
+            "success": jnp.asarray(kind == 0),
+            "failure": jnp.asarray(kind == 1),
+            "timeout": jnp.asarray(kind == 2),
+            "success_strict": jnp.asarray((kind == 0) & strict),
+            "done_strict": jnp.asarray((kind <= 2) & strict),
+            "reward_components": {
+                "alive": jnp.asarray(
+                    rng.normal(size=(T, N)).astype(np.float32))
+            },
+        }
+        db = DeviceBreakdown.create(extras)
+        db.update(extras)
+        db.update(extras)
+        s = db.fetch_and_reset()
+        expect_succ = int(((kind == 0) & strict).sum()) * 2
+        expect_done = int(((kind <= 2) & strict).sum()) * 2
+        assert list(np.asarray(s["ep_count_strict"])) == [
+            expect_succ, expect_done
+        ]
+        # window totals zeroed after fetch
+        s2 = db.fetch_and_reset()
+        assert np.asarray(s2["ep_count_strict"]).sum() == 0
+
+    def test_absent_without_strict_extras(self):
+        from dexrobot_isaac_tpu.rl.observer import DeviceBreakdown
+
+        rng = np.random.default_rng(4)
+        kind = rng.integers(0, 6, size=(3, 8))
+        extras = {
+            "success": jnp.asarray(kind == 0),
+            "failure": jnp.asarray(kind == 1),
+            "timeout": jnp.asarray(kind == 2),
+            "reward_components": {
+                "alive": jnp.asarray(
+                    rng.normal(size=(3, 8)).astype(np.float32))
+            },
+        }
+        db = DeviceBreakdown.create(extras)
+        db.update(extras)
+        s = db.fetch_and_reset()
+        # stays zero (no strict extras): the controller's .get() fallback
+        assert np.asarray(s["ep_count_strict"]).sum() == 0
