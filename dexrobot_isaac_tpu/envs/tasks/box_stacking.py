@@ -391,11 +391,16 @@ class BoxStackingTask(DexTask):
         # strict 5 cm limit — the policy learned to shove the platform
         # under the bridge-relaxed training tolerance. Penalize drift
         # beyond a free margin EVERY step so "keep the platform still" has
-        # a gradient long before the hard termination, at every
-        # difficulty. Weight via reward_weights.platform_drift_penalty.
+        # a gradient long before the hard termination. Rides the bridge
+        # anneal (zero at d=0 -> full at d >= release_anneal_end): a
+        # constant-strength version was measured to collapse fresh runs
+        # into whole-region avoidance (finger_contact raw 0.003 at 8.7k
+        # iters — the platform spawns 4-6 cm from the cube at low
+        # difficulty, so early random pokes pay the penalty before
+        # grasping exists; the same failure mode as the under-box -100).
         r["platform_drift_penalty"] = jnp.maximum(
             plat_moved - self.drift_free_margin, 0.0
-        )
+        ) * (1.0 - bridge)
         ts["prev_transport_dist"] = transport_dist
 
         return TaskStep(
@@ -561,10 +566,11 @@ class BoxStackingTask(DexTask):
                 self.under_box_margin - t[2], 0.0, None
             )
         r["under_box_penalty"] = under * near_ground
-        # dense platform-drift penalty, lane twin (compute_step above)
+        # dense platform-drift penalty, lane twin (compute_step above):
+        # rides the bridge anneal, zero at difficulty 0
         r["platform_drift_penalty"] = jnp.maximum(
             plat_moved - self.drift_free_margin, 0.0
-        )
+        ) * (1.0 - bridge)
 
         ts_new = {
             "platform_spawn_xy": spawn_xy,

@@ -506,6 +506,7 @@ class TestRound4Levers:
         ts = t.init_task_states(N)
         ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
         # platform drifted 3 cm: penalty = drift - 1 cm free margin
+        # (no release_anneal_end here -> bridge 0 -> full strength)
         phys = make_physics(plat_pos=np.tile([0.23, 0.0, S2 / 2], (N, 1)))
         step = run_step(t, make_obs(), ts, phys)
         np.testing.assert_allclose(
@@ -519,6 +520,25 @@ class TestRound4Levers:
             np.asarray(step2.reward_terms["platform_drift_penalty"]), 0.0,
             atol=1e-6,
         )
+
+    def test_platform_drift_penalty_rides_the_bridge(self):
+        t = self._task(release_anneal_end=0.75)
+        ts = t.init_task_states(N)
+        ts["platform_spawn_xy"] = jnp.tile(jnp.asarray([0.2, 0.0]), (N, 1))
+        phys = make_physics(plat_pos=np.tile([0.23, 0.0, S2 / 2], (N, 1)))
+
+        def pen_at(d):
+            ts2 = dict(ts)
+            ts2["spawn_difficulty"] = jnp.full(N, d, jnp.float32)
+            s = run_step(t, make_obs(), ts2, phys)
+            return float(s.reward_terms["platform_drift_penalty"][0])
+
+        # zero at difficulty 0 (grasp discovery keeps the old landscape),
+        # full strength at/after the anneal end
+        assert pen_at(0.0) == pytest.approx(0.0, abs=1e-7)
+        assert pen_at(0.375) == pytest.approx(0.01, abs=1e-6)  # half bridge
+        assert pen_at(0.75) == pytest.approx(0.02, abs=1e-6)
+        assert pen_at(1.0) == pytest.approx(0.02, abs=1e-6)
 
     def test_band_top_fraction_pins_spawns(self):
         t = self._task(
