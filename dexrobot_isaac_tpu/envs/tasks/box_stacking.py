@@ -175,13 +175,24 @@ class BoxStackingTask(DexTask):
         # at d >= release_anneal_end and at eval. 0 disables.
         self.pocket_margin = float(hsafe.get("pocket_margin", 0.0))
         self.pocket_radius = float(hsafe.get("pocket_radius", 0.05))
-        if self.pocket_margin > 0.0 and self.release_anneal_end <= 0.0:
+        # round-4 decoupling: the pocket margin can anneal on its OWN
+        # schedule (strict at d >= pocket_anneal_end) instead of the
+        # shared release bridge. Measured motivation: with the shared
+        # 0.75 bridge the round-4 run's strict-gated curriculum stalled
+        # at 0.60 and evaluated 91.5% hitting_ground at difficulty 1.0 —
+        # the relaxation the place-descent needs anneals out before the
+        # skill is clean. Default 1.0: relaxed in proportion (1 - d)
+        # through the whole curriculum, exactly strict at eval.
+        self.pocket_anneal_end = float(
+            hsafe.get("pocket_anneal_end", 1.0)
+        )
+        if self.pocket_margin > 0.0 and self.pocket_anneal_end <= 0.0:
             import logging
 
             logging.getLogger("dexhand_tpu").warning(
                 "BoxStacking: pocket_margin=%g has no effect because "
-                "curriculum.release_anneal_end is 0 (the pocket relaxation "
-                "rides the bridge anneal, which is identically zero)",
+                "pocket_anneal_end is 0 (the pocket relaxation's anneal "
+                "scalar is identically zero)",
                 self.pocket_margin,
             )
 
@@ -332,9 +343,21 @@ class BoxStackingTask(DexTask):
                     tips3[:, :, :2] - target[:, None, :2], axis=-1
                 ) < self.pocket_radius
             )
+            # the pocket margin anneals on its own schedule (strict at
+            # sd >= pocket_anneal_end; see __init__) — decoupled from the
+            # contact-allowance bridge
+            if self.pocket_anneal_end > 0.0:
+                pocket_bridge = jnp.clip(
+                    1.0 - ts["spawn_difficulty"] / self.pocket_anneal_end,
+                    0.0, 1.0,
+                )
+            else:
+                pocket_bridge = jnp.zeros_like(bridge)
             margin = self.fingertip_bridge_margin * bridge[:, None] + \
-                jnp.where(tip_pocket, self.pocket_margin * bridge[:, None],
-                          0.0)
+                jnp.where(
+                    tip_pocket,
+                    self.pocket_margin * pocket_bridge[:, None], 0.0,
+                )
             failures["hitting_ground"] = (
                 (obs_dict["hand_pose"][:, 2] < self.handbase_threshold)
                 | (tips3[:, :, 2]
@@ -516,7 +539,16 @@ class BoxStackingTask(DexTask):
         if self.fingertip_bridge_margin > 0.0 or self.pocket_margin > 0.0:
             # bridged/pocket override, lane twin of compute_step above:
             # the pocket relaxation is per-tip (cube AND tip in pocket)
+            # and anneals on its own pocket_anneal_end schedule
             cube_in_pocket = transport_dist < self.pocket_radius
+            if self.pocket_anneal_end > 0.0:
+                pocket_bridge = jnp.clip(
+                    1.0 - ts["spawn_difficulty"][0]
+                    / self.pocket_anneal_end,
+                    0.0, 1.0,
+                )
+            else:
+                pocket_bridge = jnp.zeros_like(bridge)
             tip_violation = None
             for t in tips:
                 tip_xy = jnp.sqrt(
@@ -524,7 +556,7 @@ class BoxStackingTask(DexTask):
                 )
                 m = self.fingertip_bridge_margin * bridge + jnp.where(
                     cube_in_pocket & (tip_xy < self.pocket_radius),
-                    self.pocket_margin * bridge, 0.0,
+                    self.pocket_margin * pocket_bridge, 0.0,
                 )
                 v = t[2] < self.fingertip_threshold - m
                 tip_violation = v if tip_violation is None else (
