@@ -1049,10 +1049,21 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         spec = lambda d: pl.BlockSpec(
             (d, b), lambda i: (0, i), memory_space=pltpu.VMEM
         )
+        # blocks beyond 1024 lanes exceed Mosaic's default 16 MiB scoped
+        # VMEM limit (block 2048 needs ~20 MiB; v5e has 128 MiB physical).
+        # Raise the limit only for large blocks so the production block
+        # 1024 keeps the compiler's default scheduling.
+        params = {}
+        if b > 1024:
+            vmem_mb = int(os.environ.get("DEXHAND_VMEM_LIMIT_MB", "64"))
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             interpret=interpret,
+            **params,
             in_specs=[
                 spec(L.rows_f), spec(L.rows_i), spec(A),
                 spec(rst_rows), spec(4), spec(3),
