@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import warnings
 from types import SimpleNamespace
 from typing import Dict, Optional
 
@@ -1055,7 +1056,15 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         # 1024 keeps the compiler's default scheduling.
         params = {}
         if b > 1024:
-            vmem_mb = int(os.environ.get("DEXHAND_VMEM_LIMIT_MB", "64"))
+            try:
+                vmem_mb = int(os.environ.get("DEXHAND_VMEM_LIMIT_MB", "64"))
+            except ValueError:
+                warnings.warn(
+                    "DEXHAND_VMEM_LIMIT_MB is not an integer "
+                    f"({os.environ['DEXHAND_VMEM_LIMIT_MB']!r}); "
+                    "using the 64 MiB default"
+                )
+                vmem_mb = 64
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_mb * 1024 * 1024
             )

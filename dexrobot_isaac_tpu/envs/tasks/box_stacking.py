@@ -173,6 +173,9 @@ class BoxStackingTask(DexTask):
         # at 0.0: the place/release/settle sequence was never survived).
         # Rides the same bridge anneal as every other tolerance: strict
         # at d >= release_anneal_end and at eval. 0 disables.
+        # Gate metrics differ deliberately: the cube uses 3D transport
+        # distance, the tip gate is XY-planar (the tip sits near/below
+        # ground when it matters, so z would dominate a 3D distance).
         self.pocket_margin = float(hsafe.get("pocket_margin", 0.0))
         self.pocket_radius = float(hsafe.get("pocket_radius", 0.05))
         # round-4 decoupling: the pocket margin can anneal on its OWN

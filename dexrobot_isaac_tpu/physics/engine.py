@@ -483,10 +483,20 @@ class HandPhysics:
             axis=-2,
         )                                                # (B,6,6)
 
-    def mass_matrix(self, kin: KinematicsOut, S: jnp.ndarray) -> jnp.ndarray:
-        """Composite-rigid-body mass matrix (26, 26) in world coordinates."""
+    def mass_matrix(
+        self,
+        kin: KinematicsOut,
+        S: jnp.ndarray,
+        i_o: "jnp.ndarray | None" = None,
+    ) -> jnp.ndarray:
+        """Composite-rigid-body mass matrix (26, 26) in world coordinates.
+
+        `i_o` lets callers that already built the per-body spatial inertias
+        (the Coriolis bias path) pass them in instead of recomputing.
+        """
         m = self.model
-        i_o = self._spatial_inertia_o(kin)
+        if i_o is None:
+            i_o = self._spatial_inertia_o(kin)
         # composite subtree inertias (reverse topological accumulation)
         ic = [i_o[i] for i in range(m.num_bodies)]
         for i in reversed(range(m.num_bodies)):
@@ -869,6 +879,7 @@ class HandPhysics:
         subtree_w = self._anc_body @ body_w                        # (B,6)
         Q = jnp.sum(S * subtree_w, axis=-1)                        # (26,)
 
+        i_o = None
         if p.coriolis:
             # RNEA velocity-product bias (Featherstone, world-origin
             # Plücker coordinates): per-body bias wrench
@@ -897,7 +908,7 @@ class HandPhysics:
 
         kp = self._kp * dr.kp_scale
         kd = self._kd * dr.kd_scale
-        M = self.mass_matrix(kin, S) + jnp.diag(self._armature)
+        M = self.mass_matrix(kin, S, i_o=i_o) + jnp.diag(self._armature)
         A = M + jnp.diag(hdt * kd + hdt * hdt * kp)
         rhs = M @ state.qd + hdt * (kp * (dof_targets - state.q) + Q)
         qd_new = spd_solve_one(A, rhs)

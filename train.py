@@ -353,7 +353,7 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
     # threshold-margin lesson; requires the task to report
     # spawn_difficulty, e.g. BoxStacking band_top_fraction > 0)
     cur_strict = bool(cur_cfg.get("promote_strict", False))
-    cur_succ = cur_done = 0
+    cur_succ = cur_done = cur_nonstrict_done = 0
     # promotion cooldown: only count episodes SPAWNED at the current
     # difficulty. Without it, the thousands of in-flight episodes spawned
     # at the previous (easier) difficulty finish within seconds of a
@@ -463,6 +463,26 @@ def run_train(cfg, env, learner, ppo, run_dir, logger, distributed=False,
                     )
                     cur_succ += int(strict[0])
                     cur_done += int(strict[1])
+                    cur_nonstrict_done += int(ep_count.sum())
+                    if (
+                        cur_done == 0
+                        and cur_nonstrict_done >= 4 * cur_min_episodes
+                    ):
+                        # promote_strict needs the task to report
+                        # spawn_difficulty (e.g. band_top_fraction > 0);
+                        # without it the strict counters stay zero forever
+                        # and the curriculum would silently never promote
+                        logger.warning(
+                            "curriculum.promote_strict is set but "
+                            f"{cur_nonstrict_done} episodes completed with "
+                            "zero strict-spawn counters — the task likely "
+                            "never reports spawn_difficulty "
+                            "(success_strict/done_strict); falling back to "
+                            "non-strict promotion counting"
+                        )
+                        cur_strict = False
+                        cur_succ = int(ep_count[0])
+                        cur_done = int(ep_count.sum())
                 else:
                     cur_succ += int(ep_count[0])
                     cur_done += int(ep_count.sum())
