@@ -117,6 +117,27 @@ class BlindGraspingTask(DexTask):
         self.curriculum_enabled = bool(cur.get("enabled", False))
         self.curriculum_min_fraction = float(cur.get("min_range_fraction", 0.2))
 
+        # Spawn validity projection (round-5 diagnosis,
+        # tools/diag_rollout.py): at the low tactile spawn height the
+        # training recipes use (initialHandPos z=0.25 vs the reference
+        # default 0.5; reference cfg/task/BaseTask.yaml:17), the full
+        # +/-0.2 m / +/-45 deg hand randomization places fingertips BELOW
+        # the ground plane in 15.3% of difficulty-1.0 draws — the episode
+        # then terminates hitting_ground on its first step regardless of
+        # the action, which capped every round-1..4 policy at ~79-85% and
+        # made four successive reward-shaping levers measure neutral.
+        # The projection lifts the sampled base z (ARTz, a world-z
+        # prismatic joint, so tips translate 1:1) by exactly the amount
+        # that gives the LOWEST fingertip `clearance` above ground —
+        # preserving the xy/rotation/finger randomization untouched and
+        # acting only on the doomed subset. No-op at the reference spawn
+        # height. The FK closure is attached by the factory
+        # (factory.py attach; engine.fk on the sampled pose).
+        sp = c.get("spawn_projection", {}) or {}
+        self.spawn_projection = bool(sp.get("enabled", True))
+        self.spawn_projection_clearance = float(sp.get("clearance", 0.01))
+        self._min_tip_z_fn = None  # attached by factory when available
+
         pp = c.get("penetration_prevention", {})
         self.geometric_penetration_factor = float(
             pp.get("geometricPenetrationFactor", 1.0)
@@ -689,6 +710,14 @@ class BlindGraspingTask(DexTask):
         )
         fingers = jax.random.uniform(k_fing, (n, 20)) * ranges
         dof = dof.at[:, 6:26].set(fingers)
+
+        if self.spawn_projection and self._min_tip_z_fn is not None:
+            # lift ARTz so the lowest fingertip clears the ground (see
+            # __init__ rationale); pure upward projection — valid spawns
+            # are untouched
+            mz = self._min_tip_z_fn(dof)
+            lift = jnp.maximum(0.0, self.spawn_projection_clearance - mz)
+            dof = dof.at[:, 2].add(lift)
 
         ts = self.init_task_states(n)
         ts["initial_box_pos"] = box_pos

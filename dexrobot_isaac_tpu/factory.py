@@ -215,4 +215,29 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
     )
     if seed is None:
         seed = int(get_by_path(cfg, "train.seed", 42))
+
+    # Attach the spawn-validity FK closure to tasks that project sampled
+    # hand poses above the ground (BlindGrasping spawn_projection; see the
+    # task __init__ rationale). Lives here because only the factory holds
+    # the assembled engine + obs config; the closure maps sampled DOF
+    # positions (N, 26) -> lowest fingertip z (N,).
+    if getattr(task, "_min_tip_z_fn", "absent") is None:
+        import jax
+        import jax.numpy as jnp
+
+        tip_idx = np.asarray(obs_cfg.fingertip_site_indices)
+        spawn_c = np.asarray(
+            env_cfg.get("initialHandPos", [0.0, 0.0, 0.5]), dtype=np.float32
+        )
+
+        def _min_tip_z(dof_pos):
+            n = dof_pos.shape[0]
+            spawn = jnp.broadcast_to(jnp.asarray(spawn_c)[None], (n, 3))
+            kin = jax.vmap(engine.fk, in_axes=(0, 0, 0))(
+                dof_pos, jnp.zeros_like(dof_pos), spawn
+            )
+            return kin.site_pos[:, tip_idx, 2].min(axis=1)
+
+        task._min_tip_z_fn = _min_tip_z
+
     return DexHandEnv(comps, seed=seed)

@@ -43,13 +43,37 @@ def main() -> int:
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     steps = int(sys.argv[5]) if len(sys.argv) > 5 else 600
 
-    cfg = load_config([f"task={task}", f"numEnvs={n}", "device=cpu"])
+    # prefer the run's SAVED config (experiments overlays change network/
+    # critic shapes — rebuilding from the task name alone loses them and the
+    # checkpoint fails to restore into the fresh model)
+    run_cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(ckpt)), "config.yaml"
+    )
+    if os.path.exists(run_cfg_path):
+        import yaml
+
+        from dexrobot_isaac_tpu.utils.config import set_by_path
+
+        with open(run_cfg_path) as f:
+            cfg = yaml.safe_load(f)
+        set_by_path(cfg, "env.numEnvs", n)
+        set_by_path(cfg, "device", "cpu")
+        set_by_path(cfg, "env.viewer", False)
+        set_by_path(cfg, "env.videoRecord", False)
+        set_by_path(cfg, "env.videoStream", False)
+        print(f"using run config {run_cfg_path}")
+    else:
+        cfg = load_config([f"task={task}", f"numEnvs={n}", "device=cpu"])
     env = make_env(cfg, seed=7)
     env.comps.initial_difficulty = difficulty
 
+    from dexrobot_isaac_tpu.utils.config import get_by_path
+
+    net = get_by_path(cfg, "train.params.network", {}) or {}
     pcfg = PPOConfig(
         num_actions=env.num_actions, num_obs=env.num_obs,
         num_states=env.num_states, num_envs=n,
+        units=tuple(net.get("units", (512, 256, 128))),
     )
     learner = PPOLearner(pcfg, env.step_fn, seed=0)
     ppo = load_checkpoint(ckpt, learner.init_state())
@@ -68,7 +92,37 @@ def main() -> int:
     pm = {k: [] for k in (
         "drift", "radial", "cube_plat_xy", "cube_z", "hand_plat_xy", "step",
     )}
+    # hitting_ground anatomy (BlindGrasping): at-failure snapshots of the
+    # fingertip geometry — which tip grazed, where relative to the box,
+    # had the box been lifted yet (approach scoop vs regrasp-after-drop)
+    bg = {k: [] for k in (
+        "tip_z", "tip_id", "n_tips_under", "tip_box_xy", "box_z",
+        "box_max_z", "hand_z", "step", "stage",
+    )}
+    if task == "BlindGrasping":
+        eng = env.comps.engine
+        tip_idx = np.asarray(env.comps.obs_cfg.fingertip_site_indices)
+        spawn_b = jnp.broadcast_to(
+            jnp.asarray(env._spawn_const)[None], (n, 3)
+        )
+
+        @jax.jit
+        def _tips(q, qd):
+            kin = jax.vmap(eng.fk, in_axes=(0, 0, 0))(q, qd, spawn_b)
+            return kin.site_pos[:, tip_idx]
+
+        tip_thresh = float(env.comps.term_cfg.fingertip_threshold)
+        box_peak = np.zeros(n)
     for t in range(steps):
+        if task == "BlindGrasping":
+            snap_tips = np.asarray(_tips(state.physics.q, state.physics.qd))
+            snap_box = np.asarray(state.physics.box_pos)
+            snap_stage = np.asarray(state.task_states["current_stage"])
+            snap_count = np.asarray(state.episode_step_count)
+            snap_handz = (
+                np.asarray(state.physics.q[:, 2]) + float(env._spawn_const[2])
+            )
+            box_peak = np.maximum(box_peak, snap_box[:, 2])
         if task == "BoxStacking":
             snap_plat = np.asarray(state.physics.box2_pos[:, :2])
             snap_spawn = np.asarray(state.task_states["platform_spawn_xy"])
@@ -78,6 +132,26 @@ def main() -> int:
             snap_count = np.asarray(state.episode_step_count)
         actions = act_jit(ppo, obs)
         state, obs, rew, done, extras = step_jit(state, actions)
+        if task == "BlindGrasping":
+            hg = np.asarray(extras.get(
+                "failure_reason_hitting_ground", np.zeros(n))) > 0.5
+            sel = hg & np.asarray(done)
+            if sel.any():
+                tz = snap_tips[sel][:, :, 2]              # (k, 5)
+                low = tz.argmin(axis=1)
+                k_ = np.arange(len(low))
+                bg["tip_z"].extend(tz[k_, low])
+                bg["tip_id"].extend(low)
+                bg["n_tips_under"].extend((tz < tip_thresh).sum(axis=1))
+                bg["tip_box_xy"].extend(np.linalg.norm(
+                    snap_tips[sel][k_, low, :2] - snap_box[sel, :2], axis=1
+                ))
+                bg["box_z"].extend(snap_box[sel, 2])
+                bg["box_max_z"].extend(box_peak[sel])
+                bg["hand_z"].extend(snap_handz[sel])
+                bg["step"].extend(snap_count[sel])
+                bg["stage"].extend(snap_stage[sel])
+            box_peak[np.asarray(done)] = 0.0
         if task == "BoxStacking":
             fk = np.asarray(extras.get(
                 "failure_reason_platform_moved", np.zeros(n))) > 0.5
@@ -137,6 +211,33 @@ def main() -> int:
     print(f"\nepisodes finished: {done_total}")
     for k, v in sorted(reason_counts.items()):
         print(f"  {k}: {v} ({v / max(1, done_total):.3f}/episode)")
+    if task == "BlindGrasping" and bg["tip_z"]:
+        def pct(a):
+            a = np.asarray(a, np.float64)
+            return (f"p10={np.percentile(a, 10):.3f} "
+                    f"p50={np.percentile(a, 50):.3f} "
+                    f"p90={np.percentile(a, 90):.3f}")
+
+        nf = len(bg["tip_z"])
+        print(f"\nhitting_ground anatomy ({nf} failures, state one step "
+              f"before the fail; fingertip threshold {tip_thresh:+.3f}):")
+        print(f"  lowest tip z (m):            {pct(bg['tip_z'])}")
+        tid = np.asarray(bg["tip_id"])
+        names = ["thumb", "index", "middle", "ring", "pinky"]
+        hist = {names[i]: int((tid == i).sum()) for i in range(5)}
+        print(f"  lowest-tip finger histogram: {hist}")
+        print(f"  tips under threshold:        {pct(bg['n_tips_under'])}")
+        print(f"  lowest-tip to box XY (m):    {pct(bg['tip_box_xy'])}")
+        print(f"  box z at failure (m):        {pct(bg['box_z'])}")
+        print(f"  box PEAK z this episode (m): {pct(bg['box_max_z'])}")
+        lifted = (np.asarray(bg["box_max_z"]) > 0.15).mean()
+        print(f"  fraction with peak box z > 0.15 (drop-regrasp): "
+              f"{lifted:.3f}")
+        print(f"  hand base z (m):             {pct(bg['hand_z'])}")
+        print(f"  episode step at failure:     {pct(bg['step'])}")
+        stg = np.asarray(bg["stage"])
+        print("  stage histogram:             "
+              f"{ {int(s): int((stg == s).sum()) for s in np.unique(stg)} }")
     if task == "BoxStacking":
         print(
             "min stack-distance percentiles over surviving envs (m): "
