@@ -57,6 +57,7 @@ from dexrobot_isaac_tpu.constants import (
 )
 from dexrobot_isaac_tpu.envs.types import EnvState
 from dexrobot_isaac_tpu.physics.pallas_step import (
+    _lane,
     _qmul,
     _qrot,
     _qrot_inv,
@@ -661,18 +662,19 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         )
         pos, quat, lin, ang, _axw, _orig = sim.fk_lane(q, qd, spawn, zero)
         site_pos, site_quat = {}, {}
+        mat = lambda v: tuple(_lane(x, zero) for x in v)
         for s in needed_sites:
             b = sim.site_b[s]
             sp_l = tuple(float(sim.sitep_c[s][k]) for k in range(3))
             sq_l = tuple(float(sim.siteq_c[s][k]) for k in range(4))
-            site_pos[s] = tuple(
-                a + d for a, d in zip(pos[b], _qrot(quat[b], sp_l))
+            site_pos[s] = mat(
+                tuple(a + d for a, d in zip(pos[b], _qrot(quat[b], sp_l)))
             )
-            site_quat[s] = _qmul(quat[b], sq_l)
+            site_quat[s] = mat(_qmul(quat[b], sq_l))
         return SimpleNamespace(
             q=q, qd=qd, box=box, cf=cf, bf=bf,
-            hand_pos=pos[hand_b], hand_quat=quat[hand_b],
-            hand_lin=lin[hand_b], hand_ang=ang[hand_b],
+            hand_pos=mat(pos[hand_b]), hand_quat=mat(quat[hand_b]),
+            hand_lin=mat(lin[hand_b]), hand_ang=mat(ang[hand_b]),
             site_pos=site_pos, site_quat=site_quat,
         )
 

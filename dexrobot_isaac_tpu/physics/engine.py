@@ -535,21 +535,25 @@ class HandPhysics:
         """
         p = self.params
         h = self.substep_dt
+        # divisions by the substep dt are strength-reduced to muls by
+        # inv_h, MIRRORING physics/pallas_step.py contact_force — the two
+        # implementations must stay in numerical lockstep (parity test)
+        inv_h = 1.0 / h
         if m_t is None:
             m_t = m_eff
         active = (depth > 0.0).astype(normal.dtype)
         vn = jnp.sum(rel_vel * normal, axis=-1)
         fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
         correction = jnp.minimum(
-            p.contact_beta * depth / h, p.max_depenetration_velocity
+            (p.contact_beta * inv_h) * depth, p.max_depenetration_velocity
         )
-        fn_impulse = m_eff / h * (-vn + correction)
+        fn_impulse = m_eff * inv_h * (-vn + correction)
         fn_mag = jnp.clip(jnp.minimum(fn_spring, fn_impulse), 0.0, None) * active
         vt = rel_vel - vn[..., None] * normal
         vt_norm = jnp.linalg.norm(vt, axis=-1)
         ft_mag = jnp.minimum(
             jnp.minimum(p.friction_stiffness * vt_norm, mu * fn_mag),
-            m_t / h * vt_norm,
+            m_t * inv_h * vt_norm,
         )
         ft = -vt / (vt_norm[..., None] + 1e-6) * ft_mag[..., None]
         return fn_mag[..., None] * normal + ft
@@ -603,9 +607,12 @@ class HandPhysics:
         share = jnp.maximum(
             jnp.sum((depth_b > 0.0).astype(sp.dtype)), 1.0
         )
-        ang_n = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) / box_inertia
+        inv_box_mass = 1.0 / box_mass
+        inv_box_inertia = 1.0 / box_inertia
+        share_bm = share * inv_box_mass
+        ang_n = jnp.sum(jnp.cross(r_c, n_world) ** 2, axis=-1) * inv_box_inertia
         m_red_n = 1.0 / (
-            1.0 / self._sphere_meff + share / box_mass + ang_n
+            1.0 / self._sphere_meff + share_bm + ang_n
         )
         # friction's lever arm is along the (predicted) slip tangent
         vn_p = jnp.sum(rel_pred * n_world, axis=-1)
@@ -613,9 +620,9 @@ class HandPhysics:
         t_hat = vt_p / (
             jnp.linalg.norm(vt_p, axis=-1, keepdims=True) + 1e-9
         )
-        ang_t = jnp.sum(jnp.cross(r_c, t_hat) ** 2, axis=-1) / box_inertia
+        ang_t = jnp.sum(jnp.cross(r_c, t_hat) ** 2, axis=-1) * inv_box_inertia
         m_red_t = 1.0 / (
-            1.0 / self._sphere_meff + share / box_mass + ang_t
+            1.0 / self._sphere_meff + share_bm + ang_t
         )
         f_box = self._penalty_force(
             depth_b, n_world, rel_pred, mu, m_red_n, m_red_t
@@ -644,12 +651,12 @@ class HandPhysics:
         vc = box_linvel + jnp.cross(box_angvel, corners_w - box_pos)
         n_up8 = jnp.zeros_like(corners_w).at[:, 2].set(1.0)
         r_c8 = corners_w - box_pos
-        ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) / box_inertia
+        ang8 = jnp.sum(jnp.cross(r_c8, n_up8) ** 2, axis=-1) * (1.0 / box_inertia)
         # linear part /4: a resting box loads ~4 corners simultaneously.
         # Corner velocity is gravity-predicted for the same static-support
         # reason as in _sphere_box (box is the FIRST body here, so the kick
         # adds).
-        m_corner = 1.0 / (4.0 / box_mass + ang8)
+        m_corner = 1.0 / (4.0 * (1.0 / box_mass) + ang8)
         vc_pred = vc + g_kick
         f_c = self._penalty_force(
             -corners_w[:, 2], n_up8, vc_pred, mu, m_corner
@@ -923,7 +930,8 @@ class HandPhysics:
 
         def integrate_box(pos0, quat0, lin0, ang0, f, t, mass, inertia):
             lin = lin0 + hdt * (
-                f / mass + jnp.array([0.0, 0.0, p.gravity], dtype=f.dtype)
+                f * (1.0 / mass)
+                + jnp.array([0.0, 0.0, p.gravity], dtype=f.dtype)
             )
             ang = ang0 + hdt * (1.0 / inertia) * t  # isotropic cube inertia
             # PhysX-style velocity caps (PhysX defaults maxAngularVelocity ~64)

