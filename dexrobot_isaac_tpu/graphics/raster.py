@@ -194,6 +194,39 @@ class Rasterizer:
             self._rgb[y0:y1, x0:x1][vis] = color * shade
             zb[vis] = depth[vis]
 
+    def capsule(self, p0, p1, radius, color, segments: int = 6) -> None:
+        """Capsule between two world points: a cylinder triangle strip plus
+        sphere-impostor caps (depth from the impostors is near-exact, the
+        z-test composes them with the strip)."""
+        p0 = np.asarray(p0, np.float64)
+        p1 = np.asarray(p1, np.float64)
+        axis = p1 - p0
+        ln = np.linalg.norm(axis)
+        if ln < 1e-9:
+            self.spheres(p0[None], np.array([radius]), np.asarray(color)[None])
+            return
+        a = axis / ln
+        # orthonormal ring basis
+        ref = np.array([0.0, 0.0, 1.0]) if abs(a[2]) < 0.9 else np.array(
+            [1.0, 0.0, 0.0]
+        )
+        u = np.cross(a, ref)
+        u = u / np.linalg.norm(u)
+        v = np.cross(a, u)
+        th = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+        ring = radius * (np.cos(th)[:, None] * u + np.sin(th)[:, None] * v)
+        verts = np.concatenate([p0 + ring, p1 + ring])   # (2S, 3)
+        faces = []
+        for i in range(segments):
+            j = (i + 1) % segments
+            faces.append((i, j, segments + i))
+            faces.append((j, segments + j, segments + i))
+        self.mesh(verts, faces, color)
+        self.spheres(
+            np.stack([p0, p1]), np.array([radius, radius]),
+            np.tile(np.asarray(color, np.float64), (2, 1)),
+        )
+
     def box(self, pos, rotmat, half_extents, color) -> None:
         h = np.asarray(half_extents, np.float64) * np.array(
             [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]

@@ -72,6 +72,10 @@ class SceneRenderer:
             for f in range(1, 6)
         ]
         self._tip_bodies = {c[-1] for c in self._chains}
+        # visual link geometry (model.visual_geoms): shaded capsules/boxes
+        # per body — the reference-fidelity path (Isaac renders link meshes,
+        # viewer_controller.py:462-594). Empty => collision-impostor fallback.
+        self._vgeoms = list(getattr(self.model, "visual_geoms", []) or [])
 
     def render_state(
         self,
@@ -91,45 +95,79 @@ class SceneRenderer:
         m = self.model
         body_pos = np.asarray(kin_body_pos, np.float64)
 
-        # collision spheres in world
-        sb = np.asarray(m.sphere_body)
-        centers = body_pos[sb] + _quat_rotate_np(
-            np.asarray(kin_body_quat, dtype=np.float64)[sb],
-            np.asarray(m.sphere_pos, dtype=np.float64),
-        )
-        radii = np.asarray(m.sphere_radius, np.float64)
-        colors = np.where(
-            np.isin(sb, list(self._tip_bodies))[:, None],
-            _TIP_COLOR, _HAND_COLOR,
-        ).astype(np.float64)
-        if contact_force_bodies is not None:
-            # contact coloring (parity: viewer_controller.py:462-594)
-            f = np.asarray(contact_force_bodies, np.float64)[sb]
-            t = np.clip(f / 10.0, 0.0, 1.0)[:, None]
-            hot = f[:, None] > 0.1
-            colors = np.where(
-                hot, _CONTACT_RED * t + colors * (1 - t), colors
+        if not self._vgeoms:
+            # collision spheres in world (impostor fallback only)
+            sb = np.asarray(m.sphere_body)
+            centers = body_pos[sb] + _quat_rotate_np(
+                np.asarray(kin_body_quat, dtype=np.float64)[sb],
+                np.asarray(m.sphere_pos, dtype=np.float64),
             )
+            radii = np.asarray(m.sphere_radius, np.float64)
+            colors = np.where(
+                np.isin(sb, list(self._tip_bodies))[:, None],
+                _TIP_COLOR, _HAND_COLOR,
+            ).astype(np.float64)
+            if contact_force_bodies is not None:
+                # contact coloring (parity: viewer_controller.py:462-594)
+                f = np.asarray(contact_force_bodies, np.float64)[sb]
+                t = np.clip(f / 10.0, 0.0, 1.0)[:, None]
+                hot = f[:, None] > 0.1
+                colors = np.where(
+                    hot, _CONTACT_RED * t + colors * (1 - t), colors
+                )
 
-        # capsule fill along finger chains: interpolated spheres between
-        # consecutive joints, radius tapering toward the tip
-        extra_c, extra_r, extra_col = [centers], [radii], [colors]
-        for chain in self._chains:
-            pts = body_pos[chain]
-            for a, b in zip(chain[:-1], chain[1:]):
-                pa, pb = body_pos[a], body_pos[b]
-                seg = np.linalg.norm(pb - pa)
-                if seg < 1e-6:
-                    continue
-                k = max(int(seg / 0.006), 2)
-                ts = np.linspace(0.0, 1.0, k + 2)[1:-1, None]
-                extra_c.append(pa + ts * (pb - pa))
-                extra_r.append(np.full(len(ts), 0.0075))
-                extra_col.append(np.tile(_HAND_COLOR, (len(ts), 1)))
-        r.spheres(
-            np.concatenate(extra_c), np.concatenate(extra_r),
-            np.concatenate(extra_col),
-        )
+        if self._vgeoms:
+            # visual link geometry: shaded capsules/boxes per body pose,
+            # with the same contact tinting as the impostor path
+            quat = np.asarray(kin_body_quat, dtype=np.float64)
+            cf = (
+                np.asarray(contact_force_bodies, np.float64)
+                if contact_force_bodies is not None else None
+            )
+            for g in self._vgeoms:
+                kind, b = g[0], int(g[1])
+                col = _TIP_COLOR if b in self._tip_bodies else _HAND_COLOR
+                if cf is not None and cf[b] > 0.1:
+                    t = min(cf[b] / 10.0, 1.0)
+                    col = _CONTACT_RED * t + col * (1 - t)
+                Rb = _quat_to_rotmat_np(quat[b])
+                if kind == "capsule":
+                    _, _, p0, p1, rad = g
+                    w0 = body_pos[b] + Rb @ np.asarray(p0, np.float64)
+                    w1 = body_pos[b] + Rb @ np.asarray(p1, np.float64)
+                    r.capsule(w0, w1, float(rad), col)
+                elif kind == "box":
+                    _, _, c0, gq, half = g
+                    Rg = Rb @ _quat_to_rotmat_np(np.asarray(gq, np.float64))
+                    r.box(
+                        body_pos[b] + Rb @ np.asarray(c0, np.float64),
+                        Rg, np.asarray(half, np.float64), col,
+                    )
+                elif kind == "sphere":
+                    _, _, c0, rad = g
+                    r.spheres(
+                        (body_pos[b] + Rb @ np.asarray(c0, np.float64))[None],
+                        np.array([float(rad)]), np.asarray(col)[None],
+                    )
+        else:
+            # collision-impostor fallback: capsule fill along finger
+            # chains — interpolated spheres between consecutive joints
+            extra_c, extra_r, extra_col = [centers], [radii], [colors]
+            for chain in self._chains:
+                for a, b in zip(chain[:-1], chain[1:]):
+                    pa, pb = body_pos[a], body_pos[b]
+                    seg = np.linalg.norm(pb - pa)
+                    if seg < 1e-6:
+                        continue
+                    k = max(int(seg / 0.006), 2)
+                    ts = np.linspace(0.0, 1.0, k + 2)[1:-1, None]
+                    extra_c.append(pa + ts * (pb - pa))
+                    extra_r.append(np.full(len(ts), 0.0075))
+                    extra_col.append(np.tile(_HAND_COLOR, (len(ts), 1)))
+            r.spheres(
+                np.concatenate(extra_c), np.concatenate(extra_r),
+                np.concatenate(extra_col),
+            )
 
         if box_pos is not None:
             self._draw_box(np.asarray(box_pos), np.asarray(box_quat))

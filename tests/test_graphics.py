@@ -42,6 +42,85 @@ class TestRenderer:
         # scene is drawn: not a blank canvas
         assert frame.std() > 5.0
 
+    def test_visual_geoms_project_to_expected_pixels(self):
+        """Link visual geometry (capsules + palm box) rasterizes at the
+        pixels its world positions project to (round-5 fidelity bar:
+        shaded link bodies, not just collision impostors)."""
+        model = build_hand_model()
+        assert model.visual_geoms, "model should carry visual geoms"
+        phys = HandPhysics(model=model)
+        state = make_initial_physics_state(1)
+        spawn = jnp.array([[0.0, 0.0, 0.3]], dtype=jnp.float32)
+        kin = phys.kinematics(state, spawn)
+        body_pos = np.asarray(kin.body_pos[0])
+        body_quat = np.asarray(kin.body_quat[0])
+        r = SceneRenderer(model, resolution=(320, 240))
+        with_geoms = r.render_state(body_pos, body_quat)
+        # the same scene WITHOUT visual geoms (impostor fallback)
+        r2 = SceneRenderer(model, resolution=(320, 240))
+        r2._vgeoms = []
+        without = r2.render_state(body_pos, body_quat)
+        # project each geom's world anchor through the same pinhole camera
+        # the renderer used and assert the pixel is geometry-colored (it
+        # differs from the empty-scene background)
+        r3 = SceneRenderer(model, resolution=(320, 240))
+        r3._vgeoms = []
+        empty = r3._r
+        empty.begin(r3.camera_pos, r3.camera_target)
+        empty.ground()
+        background = empty.finish()
+
+        from dexrobot_isaac_tpu.graphics.renderer import _quat_to_rotmat_np
+
+        hits = 0
+        total = 0
+        for g in model.visual_geoms:
+            kind, b = g[0], int(g[1])
+            Rb = _quat_to_rotmat_np(body_quat[b])
+            if kind == "capsule":
+                anchor = body_pos[b] + Rb @ (
+                    0.5 * (np.asarray(g[2]) + np.asarray(g[3]))
+                )
+            else:
+                anchor = body_pos[b] + Rb @ np.asarray(g[2])
+            cam = (anchor - empty.eye) @ empty.R.T
+            if cam[2] <= 1e-3:
+                continue
+            x = int(empty.f * cam[0] / cam[2] + empty.cx)
+            y = int(empty.cy - empty.f * cam[1] / cam[2])
+            if not (0 <= x < 320 and 0 <= y < 240):
+                continue
+            total += 1
+            if np.any(with_geoms[y, x] != background[y, x]):
+                hits += 1
+        assert total >= 10
+        # nearly every geom anchor should be covered by drawn geometry
+        assert hits / total > 0.9, (hits, total)
+        # and the geom render differs materially from the impostor render
+        assert (with_geoms != without).any()
+
+    def test_visual_geom_render_rate(self):
+        """>= 25 FPS with the full link geometry at the viewer resolution."""
+        model = build_hand_model()
+        phys = HandPhysics(model=model)
+        state = make_initial_physics_state(1)
+        spawn = jnp.array([[0.0, 0.0, 0.3]], dtype=jnp.float32)
+        kin = phys.kinematics(state, spawn)
+        body_pos = np.asarray(kin.body_pos[0])
+        body_quat = np.asarray(kin.body_quat[0])
+        r = SceneRenderer(model, resolution=(640, 480))
+        r.render_state(body_pos, body_quat)  # warm the ground cache
+        t0 = time.time()
+        n = 10
+        for _ in range(n):
+            r.render_state(
+                body_pos, body_quat,
+                box_pos=np.array([0.1, 0.0, 0.025]),
+                box_quat=np.array([0.0, 0.0, 0.0, 1.0]),
+            )
+        fps = n / (time.time() - t0)
+        assert fps >= 25.0, fps
+
 
 class TestVideoRecorder:
     def test_writes_mp4(self, frame, tmp_path):
