@@ -233,10 +233,10 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
         def _min_tip_z(dof_pos):
             n = dof_pos.shape[0]
             spawn = jnp.broadcast_to(jnp.asarray(spawn_c)[None], (n, 3))
-            kin = jax.vmap(engine.fk, in_axes=(0, 0, 0))(
-                dof_pos, jnp.zeros_like(dof_pos), spawn
+            tips = jax.vmap(engine.fk_site_pos, in_axes=(0, 0, None))(
+                dof_pos, spawn, tip_idx
             )
-            return kin.site_pos[:, tip_idx, 2].min(axis=1)
+            return tips[:, :, 2].min(axis=1)
 
         task._min_tip_z_fn = _min_tip_z
 

@@ -8,16 +8,26 @@ model from documentation; this module provides the loader so the real MJCF
 can replace the reconstruction when available.
 
 Supported subset (what the DexHand MJCF uses, per
-docs/reference-physics-implementation.md):
-- nested <body> tree with pos/quat/euler
+docs/reference-physics-implementation.md, plus the upstream full-format
+features the reference relies on Isaac Gym to digest,
+hand_initializer.py:209-257):
+- nested <body> tree with pos/quat/euler, childclass propagation
 - <joint> type hinge/slide, axis, range, damping, armature, limited
 - <geom> sphere + capsule + box (capsules/boxes are approximated by
   collision spheres along their axis, matching the engine's sphere-based
-  narrow phase)
+  narrow phase); mesh/visual geoms (contype=0 conaffinity=0 or
+  type="mesh") are excluded from collision — primitive visual geoms are
+  recorded into HandModel.visual_geoms for the renderer
 - <site> frames (fingertips/pads)
-- <inertial> mass/pos/diaginertia; bodies without inertial get geom-derived
-  point masses
-- <default> joint/geom attribute inheritance (single level)
+- <inertial> mass/pos/diaginertia/fullinertia; bodies without inertial
+  get geom-derived point masses
+- <default> hierarchies: nested <default class="..."> inheritance,
+  resolved through geom/joint `class` and body `childclass`
+- <compiler angle="degree|radian" autolimits meshdir> — degree mode
+  converts hinge ranges and euler orientations; autolimits treats a
+  joint with a range as limited
+- <asset> mesh declarations (referenced by visual geoms; geometry files
+  themselves are not needed for physics)
 - <position> actuators: kp -> joint stiffness
 """
 
@@ -68,23 +78,45 @@ def _body_quat(elem: ET.Element) -> np.ndarray:
 
 
 class _Defaults:
+    """MJCF default-class hierarchy: nested <default class="X"> blocks
+    inherit attribute dicts from their enclosing block; elements resolve
+    through their `class` attribute (or the enclosing body's `childclass`),
+    falling back to the anonymous top-level default."""
+
+    _KINDS = ("joint", "geom", "site")
+
     def __init__(self, root: ET.Element):
-        self.joint: Dict[str, str] = {}
-        self.geom: Dict[str, str] = {}
+        empty = {k: {} for k in self._KINDS}
+        self.classes: Dict[str, Dict[str, Dict[str, str]]] = {"": empty}
+
+        def collect(delem: ET.Element, inherited):
+            merged = {
+                k: dict(inherited[k]) for k in self._KINDS
+            }
+            for k in self._KINDS:
+                e = delem.find(k)
+                if e is not None:
+                    merged[k].update(e.attrib)
+            name = delem.get("class", "")
+            self.classes[name] = merged
+            for child in delem.findall("default"):
+                collect(child, merged)
+
         d = root.find("default")
         if d is not None:
-            j = d.find("joint")
-            if j is not None:
-                self.joint = dict(j.attrib)
-            g = d.find("geom")
-            if g is not None:
-                self.geom = dict(g.attrib)
+            collect(d, empty)
 
-    def joint_get(self, elem: ET.Element, key: str, default: str) -> str:
-        return elem.get(key, self.joint.get(key, default))
+    def _get(self, kind: str, elem: ET.Element, key: str, default: str,
+             active_class: str) -> str:
+        cls = elem.get("class", active_class)
+        attrs = self.classes.get(cls, self.classes[""])[kind]
+        return elem.get(key, attrs.get(key, default))
 
-    def geom_get(self, elem: ET.Element, key: str, default: str) -> str:
-        return elem.get(key, self.geom.get(key, default))
+    def joint_get(self, elem, key, default, active_class=""):
+        return self._get("joint", elem, key, default, active_class)
+
+    def geom_get(self, elem, key, default, active_class=""):
+        return self._get("geom", elem, key, default, active_class)
 
 
 def load_mjcf(path: str) -> HandModel:
@@ -92,6 +124,24 @@ def load_mjcf(path: str) -> HandModel:
     tree = ET.parse(path)
     root = tree.getroot()
     defaults = _Defaults(root)
+    comp = root.find("compiler")
+    degree = comp is not None and comp.get("angle", "degree") == "degree"
+    autolimits = comp is not None and comp.get(
+        "autolimits", "false"
+    ) == "true"
+
+    def _ang(x: float) -> float:
+        return float(np.deg2rad(x)) if degree else float(x)
+
+    def _orient(elem: ET.Element) -> np.ndarray:
+        """pos/quat/euler orientation honoring compiler angle units."""
+        q = _parse_vec(elem.get("quat"))
+        if q is not None:
+            return np.array([q[1], q[2], q[3], q[0]])
+        e = _parse_vec(elem.get("euler"))
+        if e is not None:
+            return _euler_to_quat(np.deg2rad(e) if degree else e)
+        return np.array([0.0, 0.0, 0.0, 1.0])
 
     # actuator kp per joint name
     kp_map: Dict[str, float] = {}
@@ -117,15 +167,19 @@ def load_mjcf(path: str) -> HandModel:
     armature: List[float] = []
     sites: List[Tuple[str, int, np.ndarray, np.ndarray]] = []
     spheres: List[Tuple[int, np.ndarray, float]] = []
+    vgeoms: List[tuple] = []
 
-    def walk(elem: ET.Element, parent_idx: int, pending_pos, pending_quat):
+    def walk(elem: ET.Element, parent_idx: int, pending_pos, pending_quat,
+             active_class: str = ""):
         """Recurse the body tree. Bodies with multiple joints expand into a
-        chain of single-joint bodies (the engine's reduced-coordinate form)."""
+        chain of single-joint bodies (the engine's reduced-coordinate form).
+        `active_class` is the nearest enclosing body childclass."""
         for body in elem.findall("body"):
             b_pos = _parse_vec(body.get("pos"), [0, 0, 0])
-            b_quat = _body_quat(body)
+            b_quat = _orient(body)
             joints = body.findall("joint")
             name = body.get("name", f"body{len(body_names)}")
+            b_class = body.get("childclass", active_class)
 
             cur_parent = parent_idx
             cur_pos = pending_pos + b_pos if cur_parent == parent_idx else b_pos
@@ -133,7 +187,7 @@ def load_mjcf(path: str) -> HandModel:
 
             if not joints:
                 # fixed body: fold its frame into children via pending offset
-                walk(body, cur_parent, cur_pos, cur_quat)
+                walk(body, cur_parent, cur_pos, cur_quat, b_class)
                 continue
 
             for j_i, joint in enumerate(joints):
@@ -141,7 +195,9 @@ def load_mjcf(path: str) -> HandModel:
                 is_last = j_i == len(joints) - 1
                 body_names.append(name if is_last else f"{name}_j{j_i}")
                 parent.append(cur_parent)
-                jt = defaults.joint_get(joint, "type", "hinge")
+                jg = lambda k, d: defaults.joint_get(joint, k, d, b_class)
+                jt = jg("type", "hinge")
+                is_hinge = jt != "slide"
                 joint_type.append(PRISMATIC if jt == "slide" else REVOLUTE)
                 ax = _parse_vec(joint.get("axis"), [0, 0, 1])
                 axis.append(ax / np.linalg.norm(ax))
@@ -151,13 +207,21 @@ def load_mjcf(path: str) -> HandModel:
                 )
                 post_quat.append(np.array([0, 0, 0, 1.0]))
                 rng = _parse_vec(joint.get("range"), [0, 0])
-                limited = defaults.joint_get(joint, "limited", "false") == "true"
-                lower.append(float(rng[0]) if limited else -np.pi)
-                upper.append(float(rng[1]) if limited else np.pi)
+                has_range = joint.get("range") is not None or jg(
+                    "range", ""
+                ) != ""
+                if joint.get("range") is None and jg("range", "") != "":
+                    rng = _parse_vec(jg("range", "0 0"))
+                limited = jg("limited", "false") == "true" or (
+                    autolimits and has_range
+                )
+                conv = _ang if is_hinge else float
+                lower.append(conv(rng[0]) if limited else -np.pi)
+                upper.append(conv(rng[1]) if limited else np.pi)
                 jname = joint.get("name", "")
                 stiffness.append(kp_map.get(jname, 0.0))
-                damping.append(float(defaults.joint_get(joint, "damping", "0")))
-                armature.append(float(defaults.joint_get(joint, "armature", "0.001")))
+                damping.append(float(jg("damping", "0")))
+                armature.append(float(jg("armature", "0.001")))
                 mass.append(0.0)
                 com.append(np.zeros(3))
                 inertia.append(np.zeros((3, 3)))
@@ -169,10 +233,40 @@ def load_mjcf(path: str) -> HandModel:
             inert = body.find("inertial")
             geom_mass = 0.0
             for geom in body.findall("geom"):
-                gtype = defaults.geom_get(geom, "type", "sphere")
+                gg = lambda k, d: defaults.geom_get(geom, k, d, b_class)
+                gtype = gg("type", "sphere")
                 gpos = _parse_vec(geom.get("pos"), [0, 0, 0])
                 size = _parse_vec(geom.get("size"), [0.005])
-                if gtype == "sphere":
+                # visual-only geoms (upstream convention: contype=0 +
+                # conaffinity=0, typically mesh type in a "visual" class)
+                # generate no collision; primitives among them feed the
+                # renderer instead
+                visual_only = (
+                    gtype == "mesh"
+                    or (gg("contype", "1") == "0"
+                        and gg("conaffinity", "1") == "0")
+                )
+                if visual_only:
+                    if gtype == "sphere":
+                        vgeoms.append(("sphere", bi, gpos, float(size[0])))
+                    elif gtype == "capsule":
+                        fromto = _parse_vec(geom.get("fromto"))
+                        r = float(size[0])
+                        if fromto is not None:
+                            a, b = fromto[:3], fromto[3:]
+                        else:
+                            half = size[1] if len(size) > 1 else r
+                            a = gpos - np.array([0, 0, half])
+                            b = gpos + np.array([0, 0, half])
+                        vgeoms.append(("capsule", bi, a, b, r))
+                    elif gtype == "box":
+                        vgeoms.append((
+                            "box", bi, gpos, _orient(geom),
+                            np.asarray(size[:3], dtype=np.float64),
+                        ))
+                    # mesh: orientation/vertices live in the asset file;
+                    # physics does not need them
+                elif gtype == "sphere":
                     spheres.append((bi, gpos, float(size[0])))
                 elif gtype == "capsule":
                     fromto = _parse_vec(geom.get("fromto"))
@@ -207,7 +301,7 @@ def load_mjcf(path: str) -> HandModel:
                     # principal-axes orientation: rotate into the body frame
                     iq = inert.get("quat")
                     if iq is not None:
-                        R = _quat_to_mat_np(_body_quat(inert))
+                        R = _quat_to_mat_np(_orient(inert))
                         ine = R @ ine @ R.T
                     inertia[bi] = ine
             elif geom_mass > 0:
@@ -219,10 +313,11 @@ def load_mjcf(path: str) -> HandModel:
                     site.get("name", f"site{len(sites)}"),
                     bi,
                     _parse_vec(site.get("pos"), [0, 0, 0]),
-                    _body_quat(site),
+                    _orient(site),
                 ))
 
-            walk(body, cur_parent, np.zeros(3), np.array([0, 0, 0, 1.0]))
+            walk(body, cur_parent, np.zeros(3), np.array([0, 0, 0, 1.0]),
+                 b_class)
 
     worldbody = root.find("worldbody")
     if worldbody is None:
@@ -256,6 +351,7 @@ def load_mjcf(path: str) -> HandModel:
         sphere_pos=(np.stack([s[1] for s in spheres]) if spheres
                     else np.zeros((0, 3))),
         sphere_radius=np.asarray([s[2] for s in spheres]),
+        visual_geoms=vgeoms,
     )
 
 

@@ -453,6 +453,40 @@ class HandPhysics:
             site_quat=site_quat,
         )
 
+    def fk_site_pos(
+        self, q: jnp.ndarray, spawn_pos: jnp.ndarray, site_indices
+    ) -> jnp.ndarray:
+        """Positions-only FK for a subset of sites: (len(sites), 3).
+
+        Used by spawn-validity projection (factory attach) where the full
+        `fk` — velocities, joint axes, every site's quaternion — would
+        roughly double the reset-sampling cost per env-step; this computes
+        only body pos/quat and the requested site positions."""
+        m = self.model
+        pos, quat = [], []
+        qid = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=q.dtype)
+        for i in range(m.num_bodies):
+            p = int(m.parent[i])
+            pp, pq = (spawn_pos, qid) if p < 0 else (pos[p], quat[p])
+            o = pp + qm.quat_rotate(pq, self._attach_pos[i])
+            jq = qm.quat_mul(pq, self._attach_quat[i])
+            if self._is_prismatic[i]:
+                bp = o + qm.quat_rotate(jq, self._axis[i]) * q[i]
+                bq = jq
+            else:
+                bp = o
+                bq = qm.quat_mul(
+                    jq, qm.quat_from_axis_angle(self._axis[i], q[i])
+                )
+            if self._has_post[i]:
+                bq = qm.quat_mul(bq, self._post_quat[i])
+            pos.append(bp), quat.append(bq)
+        idx = np.asarray(site_indices)
+        sb = self._site_body[idx]
+        bp = jnp.stack([pos[int(b)] for b in sb])
+        bq = jnp.stack([quat[int(b)] for b in sb])
+        return bp + qm.quat_rotate(bq, self._site_pos[idx])
+
     # ------------------------------------------------------------------
     # dynamics
     # ------------------------------------------------------------------
@@ -589,8 +623,10 @@ class HandPhysics:
         depth_b = jnp.where(outside, depth_out, depth_in)
         n_world = n_local @ Rb.T
         surf_local = jnp.where(outside[:, None], closest, local)
-        p_c = box_pos + surf_local @ Rb.T
-        v_boxpt = box_linvel + jnp.cross(box_angvel, p_c - box_pos)
+        # contact lever arm directly in world frame (p_c = box_pos + r_c
+        # was only ever used relative to box_pos; mirrored in the kernel)
+        r_c = surf_local @ Rb.T
+        v_boxpt = box_linvel + jnp.cross(box_angvel, r_c)
         rel = sv - v_boxpt
         # predicted relative velocity: the box gains gravity's velocity
         # increment this substep; folding it in lets the impulse bound
@@ -603,7 +639,6 @@ class HandPhysics:
         # active this substep (same role as the /4 for ground corners):
         # otherwise n simultaneous contacts deliver n times the stopping
         # impulse and the box rattles out of a multi-finger grasp.
-        r_c = p_c - box_pos
         share = jnp.maximum(
             jnp.sum((depth_b > 0.0).astype(sp.dtype)), 1.0
         )
@@ -631,7 +666,7 @@ class HandPhysics:
         return (
             f_box,
             jnp.sum(react, axis=0),
-            jnp.sum(jnp.cross(p_c - box_pos, react), axis=0),
+            jnp.sum(jnp.cross(r_c, react), axis=0),
         )
 
     _CORNER_SIGNS = np.array(

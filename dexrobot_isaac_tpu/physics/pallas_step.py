@@ -441,6 +441,11 @@ def build_lane_sim(engine, n_physics_steps: int):
             # mirrored in engine._sphere_box/_box_ground)
             inv_box_mass = 1.0 / box_mass
             inv_box_in = 1.0 / box_in
+            # box orientation as a rotation matrix, hoisted for the geo
+            # pass, the force pass, and the corner pass (engine._sphere_box
+            # uses the same matrix form; one conversion replaces ~117
+            # quaternion rotations per substep)
+            Rb = _rotmat_from_quat(bquat)
             # single geometry pass, CACHED for the force loop below (the
             # share count needs all depths before any force is computed;
             # recomputing the transforms per sphere measured ~35% of the
@@ -448,7 +453,7 @@ def build_lane_sim(engine, n_physics_steps: int):
             geo = []
             n_act = 0.0
             for s in range(ns):
-                loc = _qrot_inv(bquat, _sub(sp_all[s], bpos))
+                loc = _mat_t_vec(Rb, _sub(sp_all[s], bpos))
                 cl = tuple(jnp.clip(x, -half, half) for x in loc)
                 d = _sub(loc, cl)
                 dist = jnp.sqrt(_dot(d, d) + 1e-18)
@@ -491,10 +496,9 @@ def build_lane_sim(engine, n_physics_steps: int):
                 nl = tuple(jnp.where(outside, a, bvl)
                            for a, bvl in zip(n_out, n_in))
                 depth_b = jnp.where(outside, r - dist, depth_in)
-                nw = _qrot(bquat, nl)
+                nw = _mat_vec(Rb, nl)
                 surf = tuple(jnp.where(outside, a, bvl) for a, bvl in zip(cl, loc))
-                p_c = _add(bpos, _qrot(bquat, surf))
-                r_c = _sub(p_c, bpos)
+                r_c = _mat_vec(Rb, surf)
                 v_bp = _add(blin, _cross(bang, r_c))
                 rel = _sub(sv, v_bp)
                 # predicted relative velocity: fold in the box's gravity kick
@@ -538,8 +542,7 @@ def build_lane_sim(engine, n_physics_steps: int):
             bF[bj] = _sub(bF[bj], f)
             bN[bj] = _sub(bN[bj], _cross(sp_all[sj], f))
         if p.has_box:
-            # box corners vs ground
-            Rb = _rotmat_from_quat(bquat)
+            # box corners vs ground (Rb hoisted above)
             for sx in (-half, half):
                 for sy in (-half, half):
                     for sz in (-half, half):
@@ -575,12 +578,13 @@ def build_lane_sim(engine, n_physics_steps: int):
             box2_in = box2_inertia * bm_s
             inv_box2_mass = 1.0 / box2_mass
             inv_box2_in = 1.0 / box2_in
+            Rb2 = _rotmat_from_quat(b2quat)
 
             # --- spheres vs box2 (same math as the primary-box pass) ---
             geo2 = []
             n_act2 = 0.0
             for s in range(ns):
-                loc = _qrot_inv(b2quat, _sub(sp_all[s], b2pos))
+                loc = _mat_t_vec(Rb2, _sub(sp_all[s], b2pos))
                 cl = tuple(jnp.clip(x, -half2, half2) for x in loc)
                 d = _sub(loc, cl)
                 dist = jnp.sqrt(_dot(d, d) + 1e-18)
@@ -617,11 +621,10 @@ def build_lane_sim(engine, n_physics_steps: int):
                 nl = tuple(jnp.where(outside, a, bvl)
                            for a, bvl in zip(n_out, n_in))
                 depth_b = jnp.where(outside, r - dist, depth_in)
-                nw = _qrot(b2quat, nl)
+                nw = _mat_vec(Rb2, nl)
                 surf = tuple(jnp.where(outside, a, bvl)
                              for a, bvl in zip(cl, loc))
-                p_c = _add(b2pos, _qrot(b2quat, surf))
-                r_c = _sub(p_c, b2pos)
+                r_c = _mat_vec(Rb2, surf)
                 v_bp = _add(b2lin, _cross(b2ang, r_c))
                 rel = _sub(sv, v_bp)
                 rel_pred = (rel[0], rel[1], rel[2] - gz * h)
@@ -644,8 +647,7 @@ def build_lane_sim(engine, n_physics_steps: int):
                 box2_f = _add(box2_f, react)
                 box2_t = _add(box2_t, _cross(r_c, react))
 
-            # --- box2 corners vs ground ---
-            Rb2 = _rotmat_from_quat(b2quat)
+            # --- box2 corners vs ground (Rb2 hoisted above) ---
             for sx in (-half2, half2):
                 for sy in (-half2, half2):
                     for sz in (-half2, half2):

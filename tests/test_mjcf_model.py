@@ -156,3 +156,78 @@ class TestEnvOnLoadedModel:
         )
         assert np.isfinite(np.asarray(obs)).all()
         assert np.isfinite(np.asarray(rew)).all()
+
+
+UPSTREAM_XML = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "fixtures", "dexhand021_upstream_format.xml",
+)
+
+
+class TestUpstreamFormatFixture:
+    """The loader must digest an UPSTREAM-shaped file — degree-mode
+    compiler with autolimits, <asset> meshes, nested <default class=...>
+    hierarchies, body childclass, visual-vs-collision geom classes — the
+    MJCF features the reference hands to Isaac Gym's asset pipeline
+    (hand_initializer.py:209-257). The fixture is generated from the
+    vendored flat model with identical physics semantics
+    (tools/gen_upstream_fixture.py), so equivalence is exact up to the
+    degree<->radian round-trip on joint ranges."""
+
+    @pytest.fixture(scope="class")
+    def upstream(self):
+        return build_hand_model(), load_mjcf(UPSTREAM_XML)
+
+    def test_topology(self, upstream):
+        ref, got = upstream
+        assert got.body_names == ref.body_names
+        assert got.site_names == ref.site_names
+        np.testing.assert_array_equal(got.parent, ref.parent)
+        np.testing.assert_array_equal(got.joint_type, ref.joint_type)
+
+    def test_class_resolved_attributes(self, upstream):
+        """damping/armature/limits come from default classes + childclass
+        + autolimits, not inline attributes."""
+        ref, got = upstream
+        np.testing.assert_allclose(got.damping, ref.damping, atol=1e-12)
+        np.testing.assert_allclose(got.armature, ref.armature, atol=1e-12)
+        # hinge ranges round-trip through degrees
+        np.testing.assert_allclose(
+            got.lower_limit, ref.lower_limit, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            got.upper_limit, ref.upper_limit, atol=1e-9
+        )
+        np.testing.assert_allclose(got.mass, ref.mass, atol=1e-12)
+
+    def test_collision_excludes_visual_geoms(self, upstream):
+        """Visual-class geoms (mesh + primitives, contype=0) must NOT
+        produce collision spheres; primitives land in visual_geoms."""
+        ref, got = upstream
+        rb, rp, rr = _sorted_spheres(ref)
+        gb, gp, gr = _sorted_spheres(got)
+        np.testing.assert_array_equal(gb, rb)
+        np.testing.assert_allclose(gp, rp, atol=1e-12)
+        np.testing.assert_allclose(gr, rr, atol=1e-12)
+        kinds = [g[0] for g in got.visual_geoms]
+        assert "box" in kinds  # the palm's visual primitive
+
+    def test_fk_equivalence_upstream(self, upstream):
+        """World frames match the doc-reconstructed model (euler-degree
+        palm orientation, childclass chains)."""
+        from dexrobot_isaac_tpu.physics.engine import HandPhysics
+
+        ref, got = upstream
+        e_ref, e_got = HandPhysics(model=ref), HandPhysics(model=got)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.uniform(-0.3, 0.8, (4, 26)).astype(np.float32))
+        qd = jnp.asarray(0.1 * rng.normal(size=(4, 26)).astype(np.float32))
+        sp = jnp.tile(jnp.array([[0.0, 0.0, 0.3]], jnp.float32), (4, 1))
+        k1 = jax.vmap(e_ref.fk)(q, qd, sp)
+        k2 = jax.vmap(e_got.fk)(q, qd, sp)
+        np.testing.assert_allclose(
+            np.asarray(k2.body_pos), np.asarray(k1.body_pos), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(k2.site_pos), np.asarray(k1.site_pos), atol=1e-5
+        )
