@@ -849,6 +849,13 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
 
         # --- task lane step ---
         rst_dof = tuple(rst_ref[j, :] for j in range(NUM_DOFS))
+        if proj_clear is not None:
+            # spawn-validity projection of the reset rows (see build-time
+            # note at proj_clear): lift ARTz so the lowest fingertip
+            # clears the ground by `clearance`
+            mz = sim.min_site_z(rst_dof, proj_spawn, zero, proj_tips)
+            lift = jnp.maximum(0.0, proj_clear - mz)
+            rst_dof = rst_dof[:2] + (rst_dof[2] + lift,) + rst_dof[3:]
         rst_bpos = tuple(rst_ref[NUM_DOFS + j, :] for j in range(3))
         rst_bquat = tuple(rst_ref[NUM_DOFS + 3 + j, :] for j in range(4))
         ofs_r = NUM_DOFS + 7
@@ -1105,6 +1112,20 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
         raise ValueError(f"unknown fused backend {backend!r}")
 
     spawn_const = np.asarray(comps.spawn_pos, np.float32)
+    # spawn-validity projection moves INTO the kernel on the fused path:
+    # the wrapper samples reset rows with project=False and the kernel
+    # lane-projects them with sim.min_site_z — the same function the
+    # factory's XLA closure traces, so both paths produce identical rows
+    # while the fused path saves the per-step XLA FK (~5% of step flops)
+    _t = comps.task
+    proj_clear = (
+        float(_t.spawn_projection_clearance)
+        if getattr(_t, "spawn_projection", False)
+        and getattr(_t, "_min_tip_z_fn", None) is not None
+        else None
+    )
+    proj_tips = np.asarray(comps.obs_cfg.fingertip_site_indices)
+    proj_spawn = tuple(float(x) for x in comps.spawn_pos)
 
     def step_fn(state: FusedEnvState, actions: jnp.ndarray):
         nloc = actions.shape[0]
@@ -1117,7 +1138,8 @@ def build_fused_step(env, block: Optional[int] = None, interpret: bool = False,
             actions = jnp.clip(actions, -comps.clip_actions, comps.clip_actions)
 
         reset_vals = comps.task.reset_task(
-            reset_key, nloc, env._default_dof, difficulty=state.difficulty
+            reset_key, nloc, env._default_dof, difficulty=state.difficulty,
+            **({"project": False} if proj_clear is not None else {}),
         )
         rb = (
             reset_vals.box_pos if reset_vals.box_pos is not None

@@ -674,7 +674,8 @@ class BlindGraspingTask(DexTask):
 
     # ------------------------------------------------------------------
     def reset_task(
-        self, key, num_envs, default_dof_pos, difficulty=None
+        self, key, num_envs, default_dof_pos, difficulty=None,
+        project: bool = True,
     ) -> TaskReset:
         n = num_envs
         k_box, k_yaw, k_trans, k_rot, k_fing = jax.random.split(key, 5)
@@ -711,7 +712,12 @@ class BlindGraspingTask(DexTask):
         fingers = jax.random.uniform(k_fing, (n, 20)) * ranges
         dof = dof.at[:, 6:26].set(fingers)
 
-        if self.spawn_projection and self._min_tip_z_fn is not None:
+        if project and self.spawn_projection and (
+            self._min_tip_z_fn is not None
+        ):
+            # project=False => the caller projects instead (the fused
+            # kernel lane-projects its reset rows with the SAME
+            # sim.min_site_z function; envs/fused_step.py)
             # lift ARTz so the lowest fingertip clears the ground (see
             # __init__ rationale); pure upward projection — valid spawns
             # are untouched

@@ -222,21 +222,23 @@ def make_env(cfg: Dict[str, Any], seed: Optional[int] = None) -> DexHandEnv:
     # the assembled engine + obs config; the closure maps sampled DOF
     # positions (N, 26) -> lowest fingertip z (N,).
     if getattr(task, "_min_tip_z_fn", "absent") is None:
-        import jax
         import jax.numpy as jnp
 
+        from dexrobot_isaac_tpu.physics.pallas_step import build_lane_sim
+
         tip_idx = np.asarray(obs_cfg.fingertip_site_indices)
-        spawn_c = np.asarray(
-            env_cfg.get("initialHandPos", [0.0, 0.0, 0.5]), dtype=np.float32
+        spawn_c = tuple(
+            float(x) for x in env_cfg.get("initialHandPos", [0.0, 0.0, 0.5])
         )
+        proj_sim = build_lane_sim(engine, steps_per_control)
 
         def _min_tip_z(dof_pos):
-            n = dof_pos.shape[0]
-            spawn = jnp.broadcast_to(jnp.asarray(spawn_c)[None], (n, 3))
-            tips = jax.vmap(engine.fk_site_pos, in_axes=(0, 0, None))(
-                dof_pos, spawn, tip_idx
-            )
-            return tips[:, :, 2].min(axis=1)
+            # lane-form positions-only FK — op-for-op the same function the
+            # fused kernel runs on its reset rows (sim.min_site_z), so the
+            # XLA and fused paths project spawns identically
+            lanes = tuple(dof_pos[:, i] for i in range(dof_pos.shape[1]))
+            zero = jnp.zeros_like(dof_pos[:, 0])
+            return proj_sim.min_site_z(lanes, spawn_c, zero, tip_idx)
 
         task._min_tip_z_fn = _min_tip_z
 

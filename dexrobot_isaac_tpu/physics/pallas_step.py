@@ -983,9 +983,26 @@ def build_lane_sim(engine, n_physics_steps: int):
         boxf_out = tuple(_lane(x, zero) for x in boxf_out)
         return tuple(q_new), tuple(qd_new), box_new, tuple(cf_flat), boxf_out
 
+    def min_site_z(q, spawn, zero, site_ids):
+        """Lowest world z over the given sites at pose q with zero
+        velocity — positions-only lane FK (the velocity math folds away
+        through the constant-zero qd). Shared by spawn-validity
+        projection on BOTH paths (factory XLA closure and the fused
+        kernel's reset-row projection) so the two stay op-for-op
+        identical."""
+        pos, quat, _, _, _, _ = fk_lane(q, (0.0,) * nb, spawn, zero)
+        mz = None
+        for sid in site_ids:
+            b = site_b[int(sid)]
+            sp_l = tuple(float(sitep_c[int(sid)][k]) for k in range(3))
+            tz = _p(pos[b][2], _qrot(quat[b], sp_l)[2])
+            mz = tz if mz is None else jnp.minimum(mz, tz)
+        return mz
+
     return SimpleNamespace(
         substep=substep,
         fk_lane=fk_lane,
+        min_site_z=min_site_z,
         nb=nb,
         nsite=nsite,
         site_b=site_b,

@@ -300,3 +300,54 @@ class TestUnderBoxClearancePenalty:
                         make_physics(box_pos))
         np.testing.assert_allclose(
             np.asarray(step.reward_terms["under_box_penalty"]), 0.0)
+
+
+class TestSpawnProjection:
+    """Round-5 spawn-validity projection: XLA (task.reset_task) and the
+    fused kernel's lane projection must produce IDENTICAL reset rows, and
+    no projected spawn may start below the clearance."""
+
+    def test_fused_lane_projection_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dexrobot_isaac_tpu.factory import make_env
+        from dexrobot_isaac_tpu.physics.pallas_step import build_lane_sim
+        from dexrobot_isaac_tpu.utils.config import load_config
+
+        cfg = load_config([
+            "task=BlindGrasping", "numEnvs=64", "device=cpu",
+            "env.initialHandPos=[0.0, 0.0, 0.25]",  # the doomed-spawn regime
+        ])
+        env = make_env(cfg, seed=0)
+        task = env.comps.task
+        assert task.spawn_projection and task._min_tip_z_fn is not None
+        key = jax.random.key(5)
+        rv_proj = task.reset_task(key, 64, env._default_dof, difficulty=1.0)
+        rv_raw = task.reset_task(
+            key, 64, env._default_dof, difficulty=1.0, project=False
+        )
+        # the raw regime really contains doomed spawns at this height
+        sim = build_lane_sim(
+            env.comps.engine, env.comps.physics_steps_per_control
+        )
+        tips = np.asarray(env.comps.obs_cfg.fingertip_site_indices)
+        spawn = tuple(float(x) for x in env.comps.spawn_pos)
+        lanes = lambda d: tuple(d[:, i] for i in range(d.shape[1]))
+        zero = jnp.zeros((64,), jnp.float32)
+        mz_raw = np.asarray(
+            sim.min_site_z(lanes(rv_raw.dof_pos), spawn, zero, tips)
+        )
+        assert (mz_raw < 0.0).any(), "fixture regime should have doomed draws"
+        # kernel-identical lane projection of the raw rows == task-projected
+        lift = jnp.maximum(0.0, task.spawn_projection_clearance - mz_raw)
+        dof_lane = rv_raw.dof_pos.at[:, 2].add(lift)
+        np.testing.assert_array_equal(
+            np.asarray(dof_lane), np.asarray(rv_proj.dof_pos)
+        )
+        # and every projected spawn clears the ground
+        mz_proj = np.asarray(
+            sim.min_site_z(lanes(rv_proj.dof_pos), spawn, zero, tips)
+        )
+        assert (mz_proj >= task.spawn_projection_clearance - 1e-6).all()

@@ -99,9 +99,16 @@ def main() -> int:
         "tip_z", "tip_id", "n_tips_under", "tip_box_xy", "box_z",
         "box_max_z", "hand_z", "step", "stage",
     )}
+    # stage1_pregrasp anatomy: which quality condition failed at the
+    # stage-1 -> 2 transition (blind_grasping._pregrasp_quality)
+    pg = {k: [] for k in (
+        "height_bad", "centroid_bad", "drift_bad", "vel_bad", "max_hdiff3",
+        "centroid_dist", "drift", "box_speed", "hand_box_xy",
+    )}
     if task == "BlindGrasping":
         eng = env.comps.engine
         tip_idx = np.asarray(env.comps.obs_cfg.fingertip_site_indices)
+        pad_idx = np.asarray(env.comps.obs_cfg.fingerpad_site_indices)
         spawn_b = jnp.broadcast_to(
             jnp.asarray(env._spawn_const)[None], (n, 3)
         )
@@ -109,18 +116,26 @@ def main() -> int:
         @jax.jit
         def _tips(q, qd):
             kin = jax.vmap(eng.fk, in_axes=(0, 0, 0))(q, qd, spawn_b)
-            return kin.site_pos[:, tip_idx]
+            return kin.site_pos[:, tip_idx], kin.site_pos[:, pad_idx]
 
         tip_thresh = float(env.comps.term_cfg.fingertip_threshold)
         box_peak = np.zeros(n)
     for t in range(steps):
         if task == "BlindGrasping":
-            snap_tips = np.asarray(_tips(state.physics.q, state.physics.qd))
+            snap_tips_d, snap_pads_d = _tips(state.physics.q, state.physics.qd)
+            snap_tips = np.asarray(snap_tips_d)
+            snap_pads = np.asarray(snap_pads_d)
             snap_box = np.asarray(state.physics.box_pos)
+            snap_boxv = np.asarray(state.physics.box_linvel)
+            snap_box0 = np.asarray(state.task_states["initial_box_pos"])
             snap_stage = np.asarray(state.task_states["current_stage"])
             snap_count = np.asarray(state.episode_step_count)
             snap_handz = (
                 np.asarray(state.physics.q[:, 2]) + float(env._spawn_const[2])
+            )
+            snap_hand_xy = (
+                np.asarray(state.physics.q[:, :2])
+                + np.asarray(env._spawn_const)[None, :2]
             )
             box_peak = np.maximum(box_peak, snap_box[:, 2])
         if task == "BoxStacking":
@@ -151,6 +166,28 @@ def main() -> int:
                 bg["hand_z"].extend(snap_handz[sel])
                 bg["step"].extend(snap_count[sel])
                 bg["stage"].extend(snap_stage[sel])
+            pgm = np.asarray(extras.get(
+                "failure_reason_stage1_pregrasp_failed", np.zeros(n))) > 0.5
+            sel2 = pgm & np.asarray(done)
+            if sel2.any():
+                pads3 = snap_pads[sel2][:, :3, :]            # (k, 3, 3)
+                bx = snap_box[sel2]
+                hd = np.abs(pads3[:, :, 2] - bx[:, None, 2]).max(axis=1)
+                cen = pads3.mean(axis=1)
+                cd = np.linalg.norm(cen - bx, axis=1)
+                dr_ = np.linalg.norm(bx - snap_box0[sel2], axis=1)
+                spd = np.linalg.norm(snap_boxv[sel2], axis=1)
+                pg["vel_bad"].extend(spd > 0.005)
+                pg["box_speed"].extend(spd)
+                pg["height_bad"].extend(hd > 0.03)
+                pg["centroid_bad"].extend(cd > 0.08)
+                pg["drift_bad"].extend(dr_ > 0.01)
+                pg["max_hdiff3"].extend(hd)
+                pg["centroid_dist"].extend(cd)
+                pg["drift"].extend(dr_)
+                pg["hand_box_xy"].extend(np.linalg.norm(
+                    snap_hand_xy[sel2] - bx[:, :2], axis=1
+                ))
             box_peak[np.asarray(done)] = 0.0
         if task == "BoxStacking":
             fk = np.asarray(extras.get(
@@ -238,6 +275,26 @@ def main() -> int:
         stg = np.asarray(bg["stage"])
         print("  stage histogram:             "
               f"{ {int(s): int((stg == s).sum()) for s in np.unique(stg)} }")
+    if task == "BlindGrasping" and pg["max_hdiff3"]:
+        def pctp(a):
+            a = np.asarray(a, np.float64)
+            return (f"p10={np.percentile(a, 10):.3f} "
+                    f"p50={np.percentile(a, 50):.3f} "
+                    f"p90={np.percentile(a, 90):.3f}")
+
+        npg = len(pg["max_hdiff3"])
+        print(f"\nstage1_pregrasp anatomy ({npg} failures, state one step "
+              "before the transition):")
+        print("  condition failed: "
+              f"height(>3cm)={np.mean(pg['height_bad']):.2f} "
+              f"centroid(>8cm)={np.mean(pg['centroid_bad']):.2f} "
+              f"drift(>1cm)={np.mean(pg['drift_bad']):.2f} "
+              f"box_vel(>5mm/s)={np.mean(pg['vel_bad']):.2f}")
+        print(f"  box speed at transition (m/s): {pctp(pg['box_speed'])}")
+        print(f"  max pad-box height diff (m): {pctp(pg['max_hdiff3'])}")
+        print(f"  pad-centroid to box (m):     {pctp(pg['centroid_dist'])}")
+        print(f"  box drift from spawn (m):    {pctp(pg['drift'])}")
+        print(f"  hand-box XY distance (m):    {pctp(pg['hand_box_xy'])}")
     if task == "BoxStacking":
         print(
             "min stack-distance percentiles over surviving envs (m): "
