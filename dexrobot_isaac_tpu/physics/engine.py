@@ -453,43 +453,6 @@ class HandPhysics:
             site_quat=site_quat,
         )
 
-    def fk_site_pos(
-        self, q: jnp.ndarray, spawn_pos: jnp.ndarray, site_indices
-    ) -> jnp.ndarray:
-        """Positions-only FK for a subset of sites: (len(sites), 3).
-
-        Used by spawn-validity projection (factory attach) where the full
-        `fk` — velocities, joint axes, every site's quaternion — would
-        roughly double the reset-sampling cost per env-step; this computes
-        only body pos/quat and the requested site positions."""
-        m = self.model
-        pos, quat = [], []
-        qid = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=q.dtype)
-        for i in range(m.num_bodies):
-            p = int(m.parent[i])
-            pp, pq = (spawn_pos, qid) if p < 0 else (pos[p], quat[p])
-            o = pp + qm.quat_rotate(pq, self._attach_pos[i])
-            jq = qm.quat_mul(pq, self._attach_quat[i])
-            if self._is_prismatic[i]:
-                bp = o + qm.quat_rotate(jq, self._axis[i]) * q[i]
-                bq = jq
-            else:
-                bp = o
-                bq = qm.quat_mul(
-                    jq, qm.quat_from_axis_angle(self._axis[i], q[i])
-                )
-            if self._has_post[i]:
-                bq = qm.quat_mul(bq, self._post_quat[i])
-            pos.append(bp), quat.append(bq)
-        idx = np.asarray(site_indices)
-        sb = self._site_body[idx]
-        bp = jnp.stack([pos[int(b)] for b in sb])
-        bq = jnp.stack([quat[int(b)] for b in sb])
-        return bp + qm.quat_rotate(bq, self._site_pos[idx])
-
-    # ------------------------------------------------------------------
-    # dynamics
-    # ------------------------------------------------------------------
     def _motion_subspace(self, kin: KinematicsOut) -> jnp.ndarray:
         """World Plücker motion subspace per DOF: S = (omega, v_origin). (B, 6)."""
         a, o = kin.dof_axis_w, kin.dof_origin_w
